@@ -1,0 +1,142 @@
+"""Benchmark: mimic-distillation throughput on one TPU chip.
+
+Measures the stage-2 hot loop (SURVEY.md §3.2 — the reference's dominant
+workload): teacher forward + sparse-MoE student forward/backward + vocab-
+chunked KD loss + optimizer update, all in ONE jitted step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": ...}
+vs_baseline = achieved model FLOPs utilization / 0.40 (the 40%-MFU north
+star from BASELINE.md; the reference repo publishes no throughput numbers).
+
+Sizes are chosen to fit one v5e (16 GB): Qwen1.5-0.5B student upcycled to a
+4-expert top-2 MoE (every 2nd layer), Qwen1.5-1.8B-class teacher, shared
+CLIP-ViT-L/336 tower, T=1024, bf16.  Scale knobs via env: BENCH_BATCH,
+BENCH_SEQ, BENCH_STEPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import QWEN1_5_0_5B, QWEN1_5_1_8B
+    from llavamod_tpu.models.llm.upcycle import activated_params, upcycle
+    from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
+
+    b = int(os.environ.get("BENCH_BATCH", "2"))
+    t = int(os.environ.get("BENCH_SEQ", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    dtype = jnp.bfloat16
+
+    log(f"devices: {jax.devices()}")
+    log(f"bench config: B={b} T={t} steps={steps}")
+
+    key = jax.random.PRNGKey(0)
+    vis_cfg = CLIP_VIT_L_336
+
+    student_llava = LlavaConfig(llm=QWEN1_5_0_5B, vision=vis_cfg,
+                                projector_type="mlp2x_gelu", max_images=1)
+    teacher_llava = LlavaConfig(llm=QWEN1_5_1_8B, vision=vis_cfg,
+                                projector_type="mlp2x_gelu", max_images=1)
+
+    log("initializing params (bf16)...")
+    k1, k2, k3 = jax.random.split(key, 3)
+    import llavamod_tpu.models.vision.vit as vit
+
+    vision_params = vit.init(vis_cfg, k3, dtype=dtype)
+    student_params = llava.init(student_llava, k1, dtype=dtype,
+                                vision_params=vision_params)
+    teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
+                                vision_params=vision_params)
+
+    moe_llm_cfg, moe_llm_params = upcycle(
+        student_llava.llm, student_params["llm"], moe_mode="sparse",
+        num_experts=4, top_k=2, capacity_factor=1.5, eval_capacity_factor=2.0)
+    student_llava = student_llava.replace(llm=moe_llm_cfg)
+    student_params["llm"] = moe_llm_params
+
+    tcfg = TrainConfig(stage="align", align_loss_type="only_kd",
+                       compute_dtype="bfloat16", remat=True,
+                       kd_vocab_limit=151936, vocab_chunk=16384,
+                       total_steps=10_000, max_grad_norm=1.0)
+
+    state = TrainState.create(student_params, tcfg)
+    step = make_align_step(student_llava, teacher_llava, tcfg)
+
+    # synthetic batch: 1 image (576 slots) + text, full 1024-token sequences
+    n_img = student_llava.num_image_tokens
+    ids = np.random.randint(10, 1000, size=(b, t)).astype(np.int32)
+    image_mask = np.zeros((b, t), bool)
+    image_mask[:, 1:1 + n_img] = True
+    image_pos = np.zeros((b, t), np.int32)
+    for i in range(b):
+        image_pos[i, 1:1 + n_img] = i * n_img + np.arange(n_img)
+    labels = np.where(image_mask, -100, ids)
+    labels[:, : t // 4] = -100  # instruction span masked
+    s = vis_cfg.image_size
+    batch = batch_from_arrays({
+        "input_ids": ids,
+        "segment_ids": np.ones((b, t), np.int32),
+        "image_mask": image_mask,
+        "image_pos": image_pos,
+        "pixels": np.random.randn(b, 1, 3, s, s).astype(np.float32),
+        "pixel_valid": np.ones((b, 1), bool),
+        "labels": labels,
+    })
+
+    log("compiling the distillation step (first call)...")
+    t0 = time.time()
+    state, metrics = step(state, teacher_params, batch)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.time() - t0:.1f}s  "
+        f"loss={float(metrics['loss']):.4f}")
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, teacher_params, batch)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.time() - t0
+
+    tokens = b * t * steps
+    tok_per_sec = tokens / elapsed
+
+    # model FLOPs: student fwd+bwd = 6*P_act*tok, teacher fwd = 2*P_t*tok,
+    # vision fwd (frozen, shared encode teacher+student) ~= 2 * 2*P_vit*576*B
+    p_s = activated_params(student_llava.llm)
+    p_t = activated_params(teacher_llava.llm)
+    p_v = 0.30e9
+    flops_per_step = (6 * p_s + 2 * p_t) * b * t + 2 * (2 * p_v * 577 * b)
+    achieved = flops_per_step * steps / elapsed
+    peak = 197e12  # v5e bf16 peak
+    mfu = achieved / peak
+    log(f"elapsed {elapsed:.2f}s for {steps} steps; "
+        f"{tok_per_sec:.0f} tok/s/chip; MFU={mfu:.3f}")
+
+    print(json.dumps({
+        "metric": "mimic_distill_tokens_per_sec_per_chip",
+        "value": round(tok_per_sec, 1),
+        "unit": "tokens/s/chip (0.5B-MoE student + 1.8B teacher, T=1024, bf16)",
+        "vs_baseline": round(mfu / 0.40, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

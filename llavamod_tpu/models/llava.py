@@ -1,0 +1,157 @@
+"""LLaVA glue: vision tower + projector + decoder LLM in one param tree.
+
+TPU-native redesign of the reference's `prepare_inputs_labels_for_multimodal`
+(model/llava_arch.py:155-334).  The reference splices 576 image-feature
+tokens into each sequence with per-sample ragged concatenation — impossible
+under XLA's static shapes.  Here the *data pipeline* pre-expands every
+'<image>' placeholder into `num_image_tokens` reserved slots
+(data/splice.py), and the model performs a fully-vectorized static gather:
+
+    emb = where(image_mask, image_features[image_pos], token_embeddings)
+
+so the multimodal splice costs one gather + one select on device, fuses into
+the embedding lookup, and is identical across batch entries.
+
+Param tree: {'vision': ..., 'projector': ..., 'llm': ...}.  The vision tower
+is frozen by stop_gradient (reference clip_encoder.py:31 freezes it with
+requires_grad_(False)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llavamod_tpu.models.llm import decoder
+from llavamod_tpu.models.llm.config import DecoderConfig
+from llavamod_tpu.models.projector import Projector, build_projector
+from llavamod_tpu.models.vision import vit
+from llavamod_tpu.models.vision.vit import VisionConfig
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    llm: DecoderConfig
+    vision: VisionConfig
+    projector_type: str = "mlp2x_gelu"   # of record: pretrain.sh:31
+    select_layer: int = -2               # of record: pretrain.sh:33
+    select_feature: str = "patch"
+    image_aspect_ratio: str = "pad"
+    max_images: int = 1                  # static per-sample image budget
+    freeze_vision: bool = True
+    s2_scales: Tuple[int, ...] = ()      # e.g. (336, 672) enables S2
+
+    @property
+    def vision_feature_dim(self) -> int:
+        mult = max(1, len(self.s2_scales))
+        return self.vision.hidden_size * mult
+
+    def build_projector(self) -> Projector:
+        return build_projector(self.projector_type, self.vision_feature_dim,
+                               self.llm.hidden_size)
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.build_projector().num_output_tokens(self.vision.num_patches)
+
+    def replace(self, **kw) -> "LlavaConfig":
+        return dataclasses.replace(self, **kw)
+
+
+class MultimodalBatch(NamedTuple):
+    """Static-shape device batch (built on host by data/splice.py)."""
+    input_ids: jnp.ndarray    # [B, T] int32; image slots hold 0
+    segment_ids: jnp.ndarray  # [B, T] int32; 0 = padding
+    image_mask: jnp.ndarray   # [B, T] bool; True at image-feature slots
+    image_pos: jnp.ndarray    # [B, T] int32 index into flattened image rows
+    pixels: jnp.ndarray       # [B, M, 3, S, S]
+    pixel_valid: jnp.ndarray  # [B, M] bool
+    labels: Optional[jnp.ndarray] = None  # [B, T] int32 (-100 = ignored)
+    positions: Optional[jnp.ndarray] = None
+
+
+def init(cfg: LlavaConfig, key, dtype=jnp.float32,
+         llm_params: Optional[Params] = None,
+         vision_params: Optional[Params] = None) -> Params:
+    k_v, k_p, k_l = jax.random.split(key, 3)
+    return {
+        "vision": vision_params if vision_params is not None
+        else vit.init(cfg.vision, k_v, dtype),
+        "projector": cfg.build_projector().init(k_p, dtype=dtype),
+        "llm": llm_params if llm_params is not None
+        else decoder.init(cfg.llm, k_l, dtype),
+    }
+
+
+def encode_images(params: Params, cfg: LlavaConfig,
+                  pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels [N, 3, S, S] -> projected features [N, tokens, D_llm].
+
+    Mirrors reference encode_images (llava_arch.py:143-148): frozen tower
+    hidden layer `select_layer`, CLS dropped, then the projector.
+    """
+    if cfg.s2_scales:
+        from llavamod_tpu.models.vision.s2 import multiscale_forward
+
+        feats = multiscale_forward(params["vision"], cfg.vision, pixels,
+                                   cfg.s2_scales, cfg.select_layer,
+                                   cfg.select_feature)
+    else:
+        hidden = vit.forward(params["vision"], cfg.vision, pixels,
+                             cfg.select_layer)
+        feats = vit.select_features(cfg.vision, hidden, cfg.select_feature)
+    if cfg.freeze_vision:
+        feats = jax.lax.stop_gradient(feats)
+    return cfg.build_projector().apply(params["projector"], feats)
+
+
+def multimodal_embed(params: Params, cfg: LlavaConfig,
+                     batch: MultimodalBatch) -> jnp.ndarray:
+    """Token embeddings with image features scattered into reserved slots."""
+    b, t = batch.input_ids.shape
+    m = batch.pixels.shape[1]
+    emb = decoder.embed(params["llm"], cfg.llm, batch.input_ids)
+
+    pixels = batch.pixels.reshape((b * m,) + batch.pixels.shape[2:])
+    feats = encode_images(params, cfg, pixels)        # [B*M, N, D]
+    n = feats.shape[1]
+    valid = batch.pixel_valid.reshape(b * m, 1, 1)
+    feats = jnp.where(valid, feats, 0.0)
+    flat = feats.reshape(b * m * n, feats.shape[-1])
+
+    gathered = jnp.take(flat, batch.image_pos.reshape(-1), axis=0)
+    gathered = gathered.reshape(b, t, -1).astype(emb.dtype)
+    return jnp.where(batch.image_mask[..., None], gathered, emb)
+
+
+class LlavaOutput(NamedTuple):
+    hidden: jnp.ndarray
+    aux_loss: jnp.ndarray
+    moe_losses: Tuple[jnp.ndarray, ...]
+    router_probs: Tuple[jnp.ndarray, ...]
+    cache: Optional[decoder.KVCache]
+
+
+def forward(params: Params, cfg: LlavaConfig, batch: MultimodalBatch,
+            *, cache: Optional[decoder.KVCache] = None, train: bool = False,
+            attn_impl: str = "auto", remat: bool = False) -> LlavaOutput:
+    emb = multimodal_embed(params, cfg, batch)
+    out = decoder.forward(
+        params["llm"], cfg.llm, inputs_embeds=emb,
+        positions=batch.positions, segment_ids=batch.segment_ids,
+        cache=cache, train=train, attn_impl=attn_impl, remat=remat)
+    return LlavaOutput(out.hidden, out.aux_loss, out.moe_losses,
+                       out.router_probs, out.cache)
+
+
+def logits(params: Params, cfg: LlavaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    return decoder.logits_from_hidden(params["llm"], cfg.llm, hidden)
+
+
+def lm_head_weight(params: Params, cfg: LlavaConfig) -> jnp.ndarray:
+    return decoder.lm_head_weight(params["llm"], cfg.llm)

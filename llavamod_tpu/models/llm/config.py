@@ -1,0 +1,174 @@
+"""Generic decoder configuration.
+
+One flag-driven decoder replaces the reference's ten vendored per-family
+modeling files (SURVEY.md §2.7: qwen/qwen1.5/qwen2/llama/gemma2/phi/minicpm/
+stablelm/mistral/mpt, ~12k LoC of near-duplicates).  Each family is a preset
+of `DecoderConfig`; the compute path is a single implementation in
+models/llm/decoder.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from llavamod_tpu.utils.registry import Registry
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    name: str = "decoder"
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 2816
+    num_layers: int = 24
+    num_heads: int = 16
+    num_kv_heads: int = 16
+    head_dim: Optional[int] = None          # defaults to hidden//heads
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1e6
+    partial_rotary_factor: float = 1.0       # phi=0.5, stablelm=0.25
+    norm: str = "rmsnorm"                    # rmsnorm | layernorm
+    rms_norm_eps: float = 1e-6
+    norm_offset: float = 0.0                 # gemma: weight is (1 + w)
+    activation: str = "silu"                 # silu | gelu | gelu_tanh
+    gated_mlp: bool = True                   # SwiGLU-style gate*up
+    qkv_bias: bool = False                   # qwen1.5/qwen2: True
+    o_bias: bool = False
+    mlp_bias: bool = False
+    attn_logit_softcap: Optional[float] = None   # gemma2: 50.0
+    final_logit_softcap: Optional[float] = None  # gemma2: 30.0
+    query_pre_attn_scalar: Optional[float] = None  # gemma2 scale override
+    post_attn_norm: bool = False             # gemma2 post-sublayer norms
+    post_mlp_norm: bool = False
+    parallel_block: bool = False             # phi: attn and mlp in parallel
+    tie_word_embeddings: bool = False
+    embed_scale: Optional[float] = None      # gemma: sqrt(hidden)
+    sliding_window: Optional[int] = None
+    sliding_window_pattern: int = 1          # gemma2: every 2nd layer global
+    layernorm_eps: float = 1e-5
+
+    # --- MoE block (populated after sparse upcycling; None = dense) ---
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.5
+    moe_eval_capacity_factor: float = 2.0
+    moe_min_capacity: int = 4
+    moe_layers: Tuple[int, ...] = ()
+    moe_use_residual: bool = False
+    router_aux_loss_coef: float = 0.01
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            object.__setattr__(self, "head_dim", self.hidden_size // self.num_heads)
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.moe_num_experts > 0 and len(self.moe_layers) > 0
+
+    def replace(self, **kw) -> "DecoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+llm_configs: Registry[DecoderConfig] = Registry("llm config")
+
+
+def _reg(cfg: DecoderConfig, *aliases: str) -> DecoderConfig:
+    llm_configs.register(cfg.name, cfg, aliases=tuple(aliases))
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Family presets (sizes of record from the HF configs the reference targets)
+# ---------------------------------------------------------------------------
+
+QWEN2_0_5B = _reg(DecoderConfig(
+    name="qwen2-0.5b", vocab_size=151936, hidden_size=896,
+    intermediate_size=4864, num_layers=24, num_heads=14, num_kv_heads=2,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True,
+    tie_word_embeddings=True), "qwen2_0_5b")
+
+QWEN2_1_5B = _reg(DecoderConfig(
+    name="qwen2-1.5b", vocab_size=151936, hidden_size=1536,
+    intermediate_size=8960, num_layers=28, num_heads=12, num_kv_heads=2,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True,
+    tie_word_embeddings=True), "qwen2_1_5b")
+
+QWEN2_7B = _reg(DecoderConfig(
+    name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+    intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True), "qwen2_7b")
+
+QWEN1_5_0_5B = _reg(DecoderConfig(
+    name="qwen1.5-0.5b", vocab_size=151936, hidden_size=1024,
+    intermediate_size=2816, num_layers=24, num_heads=16, num_kv_heads=16,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True,
+    tie_word_embeddings=True), "qwen1_5_0_5b")
+
+QWEN1_5_1_8B = _reg(DecoderConfig(
+    name="qwen1.5-1.8b", vocab_size=151936, hidden_size=2048,
+    intermediate_size=5504, num_layers=24, num_heads=16, num_kv_heads=16,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True), "qwen1_5_1_8b")
+
+QWEN1_5_4B = _reg(DecoderConfig(
+    name="qwen1.5-4b", vocab_size=151936, hidden_size=2560,
+    intermediate_size=6912, num_layers=40, num_heads=20, num_kv_heads=20,
+    rope_theta=5e6, rms_norm_eps=1e-6, qkv_bias=True), "qwen1_5_4b")
+
+QWEN1_5_7B = _reg(DecoderConfig(
+    name="qwen1.5-7b", vocab_size=151936, hidden_size=4096,
+    intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
+    rope_theta=1e6, rms_norm_eps=1e-6, qkv_bias=True), "qwen1_5_7b")
+
+LLAMA2_7B = _reg(DecoderConfig(
+    name="llama-2-7b", vocab_size=32000, hidden_size=4096,
+    intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
+    rope_theta=1e4, rms_norm_eps=1e-5), "llama2_7b", "llama")
+
+MISTRAL_7B = _reg(DecoderConfig(
+    name="mistral-7b", vocab_size=32000, hidden_size=4096,
+    intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+    rope_theta=1e4, rms_norm_eps=1e-5, sliding_window=4096),
+    "mistral_7b", "mistral", "openchat")
+
+GEMMA2_2B = _reg(DecoderConfig(
+    name="gemma-2-2b", vocab_size=256000, hidden_size=2304,
+    intermediate_size=9216, num_layers=26, num_heads=8, num_kv_heads=4,
+    head_dim=256, rope_theta=1e4, rms_norm_eps=1e-6, norm_offset=1.0,
+    activation="gelu_tanh", attn_logit_softcap=50.0, final_logit_softcap=30.0,
+    query_pre_attn_scalar=256.0, post_attn_norm=True, post_mlp_norm=True,
+    tie_word_embeddings=True, embed_scale=2304.0 ** 0.5,
+    sliding_window=4096, sliding_window_pattern=2), "gemma2_2b", "gemma")
+
+PHI2 = _reg(DecoderConfig(
+    name="phi-2", vocab_size=51200, hidden_size=2560,
+    intermediate_size=10240, num_layers=32, num_heads=32, num_kv_heads=32,
+    rope_theta=1e4, norm="layernorm", activation="gelu_tanh", gated_mlp=False,
+    qkv_bias=True, o_bias=True, mlp_bias=True, parallel_block=True,
+    partial_rotary_factor=0.4), "phi2", "phi")
+
+STABLELM_2_1_6B = _reg(DecoderConfig(
+    name="stablelm-2-1.6b", vocab_size=100352, hidden_size=2048,
+    intermediate_size=5632, num_layers=24, num_heads=32, num_kv_heads=32,
+    rope_theta=1e4, norm="layernorm", partial_rotary_factor=0.25,
+    qkv_bias=False), "stablelm_2_1_6b", "stablelm")
+
+MINICPM_2B = _reg(DecoderConfig(
+    name="minicpm-2b", vocab_size=122753, hidden_size=2304,
+    intermediate_size=5760, num_layers=40, num_heads=36, num_kv_heads=36,
+    rope_theta=1e4, rms_norm_eps=1e-5, tie_word_embeddings=True),
+    "minicpm_2b", "minicpm")
+
+
+def tiny_config(**kw) -> DecoderConfig:
+    """A small config for tests/CI."""
+    base = dict(name="tiny", vocab_size=512, hidden_size=64,
+                intermediate_size=128, num_layers=2, num_heads=4,
+                num_kv_heads=2, max_position_embeddings=512, rope_theta=1e4,
+                qkv_bias=True)
+    base.update(kw)
+    return DecoderConfig(**base)

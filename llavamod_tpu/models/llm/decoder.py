@@ -1,0 +1,400 @@
+"""The decoder LLM: one flag-driven implementation for every family.
+
+Pure-functional: `init(cfg, key)` builds a param pytree; `forward(...)` is a
+jit-/grad-/pjit-safe function of (params, batch).  Replaces the reference's
+vendored per-family modelings (SURVEY.md §2.7) and their MoE monkey-patched
+clones (§2.6) — MoE here is just a layer whose `mlp` params carry an expert
+axis, produced by the upcycling transform in models/llm/upcycle.py.
+
+Numerics match HF semantics (fp32 norms/softmax/rope, bf16 matmuls) so
+converted checkpoints reproduce logits (tests/test_hf_parity.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llavamod_tpu.models.llm.config import DecoderConfig
+from llavamod_tpu.ops.attention import dot_product_attention
+from llavamod_tpu.ops.moe import GatingConfig, moe_ffn, top_k_gating
+from llavamod_tpu.ops.norms import layer_norm, rms_norm
+from llavamod_tpu.ops.rope import apply_rope, rope_table
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, d_in, d_out, dtype, scale=None):
+    scale = (1.0 / d_in) ** 0.5 if scale is None else scale
+    return (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)
+
+
+def _norm_params(cfg: DecoderConfig, dtype) -> Params:
+    p = {"weight": jnp.ones((cfg.hidden_size,), dtype)}
+    if cfg.norm == "layernorm":
+        p["bias"] = jnp.zeros((cfg.hidden_size,), dtype)
+    return p
+
+
+def init_mlp(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    ks = jax.random.split(key, 3)
+    p: Params = {"up": _dense_init(ks[1], d, f, dtype),
+                 "down": _dense_init(ks[2], f, d, dtype)}
+    if cfg.gated_mlp:
+        p["gate"] = _dense_init(ks[0], d, f, dtype)
+    if cfg.mlp_bias:
+        p["up_bias"] = jnp.zeros((f,), dtype)
+        p["down_bias"] = jnp.zeros((d,), dtype)
+    return p
+
+
+def init_layer(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
+    d = cfg.hidden_size
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 8)
+    attn: Params = {
+        "wq": _dense_init(ks[0], d, h * dh, dtype),
+        "wk": _dense_init(ks[1], d, kh * dh, dtype),
+        "wv": _dense_init(ks[2], d, kh * dh, dtype),
+        "wo": _dense_init(ks[3], h * dh, d, dtype),
+    }
+    if cfg.qkv_bias:
+        attn["bq"] = jnp.zeros((h * dh,), dtype)
+        attn["bk"] = jnp.zeros((kh * dh,), dtype)
+        attn["bv"] = jnp.zeros((kh * dh,), dtype)
+    if cfg.o_bias:
+        attn["bo"] = jnp.zeros((d,), dtype)
+
+    layer: Params = {
+        "input_norm": _norm_params(cfg, dtype),
+        "attn": attn,
+        "mlp": init_mlp(cfg, ks[4], dtype),
+    }
+    if not cfg.parallel_block:
+        layer["post_attn_input_norm"] = _norm_params(cfg, dtype)
+    if cfg.post_attn_norm:
+        layer["post_attn_norm"] = _norm_params(cfg, dtype)
+    if cfg.post_mlp_norm:
+        layer["post_mlp_norm"] = _norm_params(cfg, dtype)
+    return layer
+
+
+def init(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.num_layers + 2)
+    params: Params = {
+        "embed": {"embedding": (jax.random.normal(
+            ks[0], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
+        ).astype(dtype)},
+        "layers": [init_layer(cfg, ks[i + 1], dtype) for i in range(cfg.num_layers)],
+        "final_norm": _norm_params(cfg, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": (jax.random.normal(
+            ks[-1], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
+        ).astype(dtype)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray        # [L, B, S_max, KH, Dh]
+    v: jnp.ndarray        # [L, B, S_max, KH, Dh]
+    segment: jnp.ndarray  # [B, S_max] int32 (0 = empty/pad)
+    length: jnp.ndarray   # scalar int32: filled prefix length
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((batch, max_len), jnp.int32),
+                   jnp.zeros((), jnp.int32))
+
+
+class DecoderOutput(NamedTuple):
+    hidden: jnp.ndarray                  # [B, T, D] final-norm output
+    aux_loss: jnp.ndarray                # scalar: sum of MoE aux losses
+    moe_losses: Tuple[jnp.ndarray, ...]  # per-MoE-layer aux values
+    router_probs: Tuple[jnp.ndarray, ...]  # per-MoE-layer [B*T, E] gate probs
+    cache: Optional[KVCache]
+
+
+def _norm(cfg: DecoderConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.norm == "layernorm":
+        return layer_norm(x, p["weight"], p.get("bias"), cfg.layernorm_eps)
+    return rms_norm(x, p["weight"], cfg.rms_norm_eps, offset=cfg.norm_offset)
+
+
+def _activation(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.activation == "silu":
+        return jax.nn.silu(x)
+    if cfg.activation == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if cfg.activation == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(cfg.activation)
+
+
+def mlp_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    up = x @ p["up"]
+    if cfg.mlp_bias:
+        up = up + p["up_bias"]
+    if cfg.gated_mlp:
+        h = _activation(cfg, x @ p["gate"]) * up
+    else:
+        h = _activation(cfg, up)
+    out = h @ p["down"]
+    if cfg.mlp_bias:
+        out = out + p["down_bias"]
+    return out
+
+
+def _expert_mlp(cfg: DecoderConfig, experts: Params, xe: jnp.ndarray) -> jnp.ndarray:
+    """xe: [E, C, D] -> [E, C, D]; expert weights carry a leading E axis."""
+    up = jnp.einsum("ecd,edf->ecf", xe, experts["up"])
+    if cfg.gated_mlp:
+        gate = jnp.einsum("ecd,edf->ecf", xe, experts["gate"])
+        h = _activation(cfg, gate) * up
+    else:
+        h = _activation(cfg, up)
+    return jnp.einsum("ecf,efd->ecd", h, experts["down"])
+
+
+def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
+                      train: bool, token_valid: Optional[jnp.ndarray]):
+    """Sparse FFN: x [B, T, D] -> (y, aux_loss, router_probs)."""
+    b, t, d = x.shape
+    xs = x.reshape(b * t, d)
+    gcfg = GatingConfig(
+        num_experts=cfg.moe_num_experts, top_k=cfg.moe_top_k,
+        capacity_factor=cfg.moe_capacity_factor,
+        eval_capacity_factor=cfg.moe_eval_capacity_factor,
+        min_capacity=cfg.moe_min_capacity)
+    router_logits = xs.astype(jnp.float32) @ p["router"].astype(jnp.float32)
+    tv = token_valid.reshape(b * t) if token_valid is not None else None
+    gate = top_k_gating(router_logits, gcfg, train=train, token_valid=tv)
+    y = moe_ffn(xs, gate.dispatch, gate.combine,
+                functools.partial(_expert_mlp, cfg, p["experts"]))
+    if cfg.moe_use_residual:
+        res = mlp_forward(cfg, p["residual_mlp"], xs)
+        coef = jax.nn.softmax((xs @ p["coef"]).astype(jnp.float32), axis=-1)
+        y = y * coef[:, :1].astype(y.dtype) + res * coef[:, 1:].astype(res.dtype)
+    return y.reshape(b, t, d), gate.aux_loss, gate.router_probs
+
+
+def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
+                      positions: jnp.ndarray,
+                      segment_ids: Optional[jnp.ndarray],
+                      layer_idx: int,
+                      cache: Optional[KVCache],
+                      attn_impl: str = "auto"):
+    """x: [B, T, D].  Returns (out [B, T, D], updated (k,v,segment) or None)."""
+    b, t, d = x.shape
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = x @ p["wq"]
+    k = x @ p["wk"]
+    v = x @ p["wv"]
+    if cfg.qkv_bias:
+        q, k, v = q + p["bq"], k + p["bk"], v + p["bv"]
+    q = q.reshape(b, t, h, dh)
+    k = k.reshape(b, t, kh, dh)
+    v = v.reshape(b, t, kh, dh)
+
+    cos, sin = rope_table(positions, dh, cfg.rope_theta, cfg.rotary_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    scale = (cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
+             else dh ** -0.5)
+    softcap = cfg.attn_logit_softcap
+
+    sliding = cfg.sliding_window if (
+        cfg.sliding_window and (layer_idx % cfg.sliding_window_pattern
+                                == cfg.sliding_window_pattern - 1 or
+                                cfg.sliding_window_pattern == 1)) else None
+
+    new_kv = None
+    if cache is not None:
+        # Decode / incremental prefill: write k,v into the cache at `length`.
+        start = cache.length
+        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype),
+                                          (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype),
+                                          (0, start, 0, 0))
+        s_max = ck.shape[1]
+        if segment_ids is not None:
+            cseg = jax.lax.dynamic_update_slice(cache.segment,
+                                                segment_ids.astype(jnp.int32),
+                                                (0, start))
+        else:
+            cseg = jax.lax.dynamic_update_slice(
+                cache.segment, jnp.ones((b, t), jnp.int32), (0, start))
+        # Mask: causal against absolute positions + segment match.
+        kv_pos = jnp.arange(s_max)[None, None, None, :]
+        q_pos = (start + jnp.arange(t))[None, None, :, None]
+        mask = kv_pos <= q_pos
+        mask = mask & (cseg[:, None, None, :] != 0)
+        if sliding is not None:
+            mask = mask & (kv_pos > q_pos - sliding)
+        out = dot_product_attention(
+            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask,
+            causal=False, scale=scale, softcap=softcap, impl="xla")
+        new_kv = (ck, cv, cseg)
+    else:
+        mask = None
+        segs = None
+        if segment_ids is not None:
+            segs = (segment_ids, segment_ids)
+        if sliding is not None:
+            q_pos = positions[:, None, :, None] if positions.ndim == 2 else (
+                jnp.arange(t)[None, None, :, None])
+            kv_pos = q_pos.swapaxes(-1, -2)
+            mask = kv_pos > q_pos - sliding
+            # window masks force the XLA path for now
+            out = dot_product_attention(q, k, v, mask=mask, causal=True,
+                                        scale=scale, softcap=softcap,
+                                        segment_ids=segs, impl="xla")
+        else:
+            out = dot_product_attention(q, k, v, causal=True, scale=scale,
+                                        softcap=softcap, segment_ids=segs,
+                                        impl=attn_impl)
+
+    out = out.reshape(b, t, h * dh) @ p["wo"]
+    if cfg.o_bias:
+        out = out + p["bo"]
+    return out, new_kv
+
+
+def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
+                  positions, segment_ids, layer_idx, cache,
+                  train: bool, attn_impl: str = "auto"):
+    is_moe_layer = cfg.is_moe and (layer_idx in cfg.moe_layers)
+    aux = jnp.zeros((), jnp.float32)
+    router_probs = None
+    token_valid = (segment_ids != 0) if segment_ids is not None else None
+
+    normed = _norm(cfg, p["input_norm"], x)
+    attn_out, new_kv = attention_forward(cfg, p["attn"], normed, positions,
+                                         segment_ids, layer_idx, cache, attn_impl)
+    if cfg.post_attn_norm:
+        attn_out = _norm(cfg, p["post_attn_norm"], attn_out)
+
+    if cfg.parallel_block:
+        if is_moe_layer:
+            mlp_out, aux, router_probs = moe_block_forward(
+                cfg, p["mlp"], normed, train, token_valid)
+        else:
+            mlp_out = mlp_forward(cfg, p["mlp"], normed)
+        x = x + attn_out + mlp_out
+    else:
+        x = x + attn_out
+        normed2 = _norm(cfg, p["post_attn_input_norm"], x)
+        if is_moe_layer:
+            mlp_out, aux, router_probs = moe_block_forward(
+                cfg, p["mlp"], normed2, train, token_valid)
+        else:
+            mlp_out = mlp_forward(cfg, p["mlp"], normed2)
+        if cfg.post_mlp_norm:
+            mlp_out = _norm(cfg, p["post_mlp_norm"], mlp_out)
+        x = x + mlp_out
+    return x, new_kv, aux, router_probs
+
+
+def forward(
+    params: Params,
+    cfg: DecoderConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    train: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> DecoderOutput:
+    """Run the decoder stack.  Provide input_ids OR inputs_embeds.
+
+    positions: [B, T] absolute positions (defaults to arange, or cache.length
+    offset during decode).  segment_ids: [B, T] (0 = padding).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, cfg, input_ids)
+    b, t, _ = inputs_embeds.shape
+    if positions is None:
+        base = jnp.arange(t)[None, :]
+        if cache is not None:
+            base = base + cache.length
+        positions = jnp.broadcast_to(base, (b, t))
+
+    x = inputs_embeds
+    aux_total = jnp.zeros((), jnp.float32)
+    moe_losses: List[jnp.ndarray] = []
+    router_probs: List[jnp.ndarray] = []
+    new_k, new_v, new_seg = [], [], None
+
+    layer_fn = layer_forward
+    if remat and cache is None:
+        # full per-layer remat: save only layer boundaries, recompute the rest
+        layer_fn = jax.checkpoint(
+            layer_forward,
+            static_argnums=(0, 5, 7, 8))  # cfg, layer_idx, train, attn_impl
+
+    for i, layer_params in enumerate(params["layers"]):
+        x, kv, aux, probs = layer_fn(cfg, layer_params, x, positions,
+                                     segment_ids, i, cache, train, attn_impl)
+        aux_total = aux_total + aux
+        if probs is not None:
+            moe_losses.append(aux)
+            router_probs.append(probs)
+        if kv is not None:
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+            new_seg = kv[2]
+
+    x = _norm(cfg, params["final_norm"], x)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), new_seg,
+                            cache.length + t)
+    return DecoderOutput(x, aux_total, tuple(moe_losses), tuple(router_probs),
+                         new_cache)
+
+
+def embed(params: Params, cfg: DecoderConfig, input_ids: jnp.ndarray) -> jnp.ndarray:
+    e = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        e = (e.astype(jnp.float32) * cfg.embed_scale).astype(e.dtype)
+    return e
+
+
+def lm_head_weight(params: Params, cfg: DecoderConfig) -> jnp.ndarray:
+    """[V, D] output-projection weight (tied embedding or separate head)."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        return params["embed"]["embedding"]
+    return params["lm_head"]["weight"]
+
+
+def logits_from_hidden(params: Params, cfg: DecoderConfig,
+                       hidden: jnp.ndarray) -> jnp.ndarray:
+    w = lm_head_weight(params, cfg)
+    logits = jnp.einsum("btd,vd->btv", hidden, w,
+                        preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        c = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / c) * c
+    return logits

@@ -1,0 +1,119 @@
+"""Attention ops.
+
+`dot_product_attention` is the single entry point used by every model in the
+framework (the reference instead carries per-family attention copies plus
+flash-attn CUDA / Triton kernels — see SURVEY.md §2.9).  Two implementations:
+
+  * 'xla'   — einsum + fp32 softmax reference path (runs anywhere, used for
+              decode steps and CPU tests).
+  * 'flash' — Pallas TPU flash-attention kernel (ops/flash_attention.py),
+              used for long-sequence training/prefill on TPU.
+
+GQA is handled by logical head grouping, never by materializing repeated K/V.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite "-inf" that keeps softmax numerics safe in bf16/fp32
+
+
+def _gqa_group(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
+    """[B,T,H,D] -> [B,T,KH,G,D] logical grouping for GQA."""
+    b, t, h, d = q.shape
+    return q.reshape(b, t, num_kv_heads, h // num_kv_heads, d)
+
+
+def make_causal_mask(t: int, s: int, dtype=jnp.bool_) -> jnp.ndarray:
+    """[t, s] lower-triangular mask aligned to the *end* (decode-friendly):
+    query i attends to kv j iff j - (s - t) <= i."""
+    qi = jnp.arange(t)[:, None] + (s - t)
+    kj = jnp.arange(s)[None, :]
+    return (kj <= qi).astype(dtype)
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention.  q:[B,T,H,D] k,v:[B,S,KH,D] -> [B,T,H,D].
+
+    mask: broadcastable to [B, 1|H, T, S], True = attend.
+    bias: broadcastable additive bias (same shape rules).
+    """
+    b, t, h, d = q.shape
+    s, kh = k.shape[1], k.shape[2]
+    scale = d ** -0.5 if scale is None else scale
+
+    qg = _gqa_group(q, kh)  # [B,T,KH,G,D]
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    logits = logits.reshape(b, h, t, s)
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        cm = make_causal_mask(t, s)
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    pg = probs.reshape(b, kh, h // kh, t, s)
+    out = jnp.einsum("bkgts,bskd->btkgd", pg, v)
+    return out.reshape(b, t, h, d)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    segment_ids: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching attention entry point.
+
+    segment_ids: (q_seg [B,T], kv_seg [B,S]) — tokens attend only within equal
+    nonzero segment ids (0 = padding).  Composes with `causal`.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        # flash kernel pays off for real training/prefill tiles
+        use_flash = (on_tpu and q.shape[1] >= 128 and bias is None
+                     and mask is None and q.shape[-1] % 128 == 0)
+        impl = "flash" if use_flash else "xla"
+
+    if impl == "flash":
+        from llavamod_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
+                               scale=scale, softcap=softcap)
+
+    if segment_ids is not None:
+        q_seg, kv_seg = segment_ids
+        seg_mask = (q_seg[:, None, :, None] == kv_seg[:, None, None, :]) & (
+            kv_seg[:, None, None, :] != 0
+        )
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    return xla_attention(q, k, v, bias=bias, mask=mask, causal=causal,
+                         scale=scale, softcap=softcap)

@@ -1,0 +1,375 @@
+"""Training losses, built around vocab-chunked logit computation.
+
+The reference materializes fp32 [B, T, 151936] probability tensors for the
+distillation KL (align_trainer.py:455-528) — ~2.4 GB of activations per
+forward at B*T=4096.  Here the LM head matmul, softmax statistics, and loss
+contraction are fused into a `lax.scan` over vocab chunks with custom VJPs,
+so peak memory per side is O(B*T*chunk) and the chunk matmuls run on the MXU.
+
+Semantics parity:
+  * kd_align_loss        == compute_align_loss (align_trainer.py:503-528):
+      -sum_v p_teacher(v) * logp_student(v), same-position (no shift),
+      token-mean over mask, vocab sliced to the shared prefix (the
+      reference's hard-coded [:151936]).
+  * softmax_cross_entropy== HF CausalLM CE (shift done by the caller).
+  * sequence_log_prob    == DPOTrainer.get_logp (dpo_trainer.py:462-495).
+  * dpo_loss             == DPOTrainer.dpo_loss (dpo_trainer.py:497-562),
+      loss types sigmoid / hinge / ipo / kto_pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 8192
+
+
+def _num_chunks(v: int, chunk: int) -> int:
+    return -(-v // chunk)
+
+
+def _chunk_logits(h, w_chunk):
+    """h [N, D] x w_chunk [C, D] -> [N, C] fp32 logits."""
+    return jax.lax.dot_general(
+        h, w_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _pad_vocab(w: jnp.ndarray, vocab_limit: int, chunk: int) -> Tuple[jnp.ndarray, int]:
+    """Slice the head weight to vocab_limit rows and pad to a chunk multiple."""
+    w = w[:vocab_limit]
+    pad = (-vocab_limit) % chunk
+    if pad:
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    return w, _num_chunks(vocab_limit, chunk)
+
+
+def _valid_cols(chunk_idx: int, chunk: int, vocab_limit: int, n: int):
+    """Bool [1, C]: which columns of this chunk are real vocab entries."""
+    cols = chunk_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    return cols < vocab_limit
+
+
+# ---------------------------------------------------------------------------
+# chunked logsumexp + label-logit gather  (CE and DPO building block)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def chunked_lse_and_gather(h, w, ids, vocab_limit: int, chunk: int = DEFAULT_CHUNK):
+    """Compute (logsumexp over vocab, logit of `ids`) without materializing
+    full logits.
+
+    h: [N, D] hidden states; w: [V, D] LM head (embedding layout);
+    ids: [N] int32 target token ids (must be < vocab_limit).
+    Returns (lse [N] fp32, picked [N] fp32).
+    """
+    return _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk)
+
+
+def _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk):
+    n, d = h.shape
+    wp, nc = _pad_vocab(w, vocab_limit, chunk)
+    wc = wp.reshape(nc, chunk, d)
+
+    def step(carry, w_chunk_and_idx):
+        m, l, picked = carry
+        w_chunk, c_idx = w_chunk_and_idx
+        s = _chunk_logits(h, w_chunk)                       # [N, C]
+        s = jnp.where(_valid_cols(c_idx, chunk, vocab_limit, n), s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new[:, None]), axis=1)
+        # gather the label logit if it falls in this chunk
+        local = ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        got = jnp.take_along_axis(s, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
+        picked = jnp.where(in_chunk, got, picked)
+        return (m_new, l, picked), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (m, l, picked), _ = jax.lax.scan(step, init, (wc, jnp.arange(nc)))
+    lse = m + jnp.log(l)
+    return lse, picked
+
+
+def _lse_gather_fwd(h, w, ids, vocab_limit, chunk):
+    lse, picked = _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk)
+    return (lse, picked), (h, w, ids, lse)
+
+
+def _lse_gather_bwd(vocab_limit, chunk, res, g):
+    h, w, ids, lse = res
+    g_lse, g_picked = g  # [N], [N]
+    n, d = h.shape
+    wp, nc = _pad_vocab(w, vocab_limit, chunk)
+    wc = wp.reshape(nc, chunk, d)
+
+    def step(dh, w_chunk_and_idx):
+        w_chunk, c_idx = w_chunk_and_idx
+        s = _chunk_logits(h, w_chunk)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # softmax chunk
+        local = ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
+                  == jnp.clip(local, 0, chunk - 1)[:, None]) & in_chunk[:, None]
+        ds = g_lse[:, None] * p + g_picked[:, None] * onehot  # [N, C] fp32
+        dh = dh + jax.lax.dot(ds.astype(w_chunk.dtype), w_chunk,
+                              preferred_element_type=jnp.float32)
+        dw_chunk = jax.lax.dot_general(
+            ds.astype(h.dtype), h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [C, D]
+        return dh, dw_chunk
+
+    dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32),
+                                 (wc, jnp.arange(nc)))
+    dw = dw_chunks.reshape(nc * chunk, d)[:vocab_limit]
+    pad_rows = w.shape[0] - vocab_limit
+    if pad_rows > 0:
+        dw = jnp.concatenate([dw, jnp.zeros((pad_rows, d), dw.dtype)], axis=0)
+    return dh.astype(h.dtype), dw.astype(w.dtype), None
+
+
+chunked_lse_and_gather.defvjp(_lse_gather_fwd, _lse_gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# chunked KD cross-entropy  (teacher -> student forward KL numerator)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def chunked_kd_cross_entropy(h_s, w_s, h_t, w_t, weight, vocab_limit: int,
+                             chunk: int = DEFAULT_CHUNK):
+    """Per-token  -sum_v p_t(v) * logp_s(v)  weighted-summed over tokens.
+
+    h_s [N, Ds], w_s [Vs, Ds]; h_t [N, Dt], w_t [Vt, Dt]; weight [N] fp32
+    (typically mask/sum(mask)).  Teacher side carries no gradient; student
+    gradient is weight * (softmax(s) - softmax(t)) @ w_s, computed chunk-wise.
+    Returns a scalar.
+    """
+    loss, _, _ = _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk)
+    return loss
+
+
+def _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk):
+    """Streaming pass: lse_s, lse_t [N], and A = sum_v exp(t_v - m_t) * s_v."""
+    n = h_s.shape[0]
+    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
+    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
+    wsc = ws.reshape(nc, chunk, -1)
+    wtc = wt.reshape(nc, chunk, -1)
+
+    def step(carry, inputs):
+        m_s, l_s, m_t, l_t, a = carry
+        ws_c, wt_c, c_idx = inputs
+        s = _chunk_logits(h_s, ws_c)
+        t = _chunk_logits(h_t, wt_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        s = jnp.where(valid, s, -jnp.inf)
+        t = jnp.where(valid, t, -jnp.inf)
+
+        m_s_new = jnp.maximum(m_s, jnp.max(s, axis=1))
+        l_s = l_s * jnp.exp(m_s - m_s_new) + jnp.sum(jnp.exp(s - m_s_new[:, None]), axis=1)
+
+        m_t_new = jnp.maximum(m_t, jnp.max(t, axis=1))
+        rescale = jnp.exp(m_t - m_t_new)
+        et = jnp.where(valid, jnp.exp(t - m_t_new[:, None]), 0.0)
+        l_t = l_t * rescale + jnp.sum(et, axis=1)
+        a = a * rescale + jnp.sum(et * jnp.where(valid, s, 0.0), axis=1)
+        return (m_s_new, l_s, m_t_new, l_t, a), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (m_s, l_s, m_t, l_t, a), _ = jax.lax.scan(
+        step, init, (wsc, wtc, jnp.arange(nc)))
+    lse_s = m_s + jnp.log(l_s)
+    lse_t = m_t + jnp.log(l_t)
+    # E_t[s] = A / l_t ;   loss_tok = lse_s - E_t[s]
+    e_t_s = a / l_t
+    return lse_s, lse_t, e_t_s
+
+
+def _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
+    lse_s, lse_t, e_t_s = _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk)
+    per_token = lse_s - e_t_s  # = -sum_v p_t (s_v - lse_s)
+    loss = jnp.sum(per_token * weight)
+    return loss, lse_s, lse_t
+
+
+def _kd_fwd(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
+    loss, lse_s, lse_t = _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk)
+    return loss, (h_s, w_s, h_t, w_t, weight, lse_s, lse_t)
+
+
+def _kd_bwd(vocab_limit, chunk, res, g):
+    h_s, w_s, h_t, w_t, weight, lse_s, lse_t = res
+    n, d_s = h_s.shape
+    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
+    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
+    wsc = ws.reshape(nc, chunk, -1)
+    wtc = wt.reshape(nc, chunk, -1)
+    coef = (g * weight)[:, None]  # [N, 1]
+
+    def step(dh, inputs):
+        ws_c, wt_c, c_idx = inputs
+        s = _chunk_logits(h_s, ws_c)
+        t = _chunk_logits(h_t, wt_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
+        p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
+        ds = coef * (p_s - p_t)  # d loss / d s_chunk
+        dh = dh + jax.lax.dot(ds.astype(ws_c.dtype), ws_c,
+                              preferred_element_type=jnp.float32)
+        dw_c = jax.lax.dot_general(ds.astype(h_s.dtype), h_s,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return dh, dw_c
+
+    dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
+                                 (wsc, wtc, jnp.arange(nc)))
+    dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
+    pad_rows = w_s.shape[0] - vocab_limit
+    if pad_rows > 0:
+        dw = jnp.concatenate([dw, jnp.zeros((pad_rows, dw.shape[1]), dw.dtype)], 0)
+    return (dh.astype(h_s.dtype), dw.astype(w_s.dtype), None, None,
+            jnp.zeros_like(weight))
+
+
+chunked_kd_cross_entropy.defvjp(_kd_fwd, _kd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# High-level losses
+# ---------------------------------------------------------------------------
+
+class TokenLossOutput(NamedTuple):
+    loss: jnp.ndarray           # scalar
+    num_tokens: jnp.ndarray     # scalar fp32
+
+
+def softmax_cross_entropy(hidden, w_head, labels, ignore_index: int = -100,
+                          vocab_limit: Optional[int] = None,
+                          chunk: int = DEFAULT_CHUNK,
+                          shift: bool = True) -> TokenLossOutput:
+    """Causal-LM CE.  hidden [B,T,D], w_head [V,D], labels [B,T].
+
+    shift=True applies the standard next-token shift (HF CausalLM semantics);
+    the loss is the token-mean over labels != ignore_index.
+    """
+    if shift:
+        hidden = hidden[:, :-1]
+        labels = labels[:, 1:]
+    b, t, d = hidden.shape
+    v = w_head.shape[0] if vocab_limit is None else vocab_limit
+    h = hidden.reshape(b * t, d)
+    ids = labels.reshape(b * t)
+    mask = (ids != ignore_index)
+    safe_ids = jnp.where(mask, ids, 0).astype(jnp.int32)
+    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk)
+    per_tok = (lse - picked) * mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return TokenLossOutput(jnp.sum(per_tok) / denom, denom)
+
+
+def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
+                  ignore_index: int = -100, vocab_limit: Optional[int] = None,
+                  distill_all_tokens: bool = False,
+                  chunk: int = DEFAULT_CHUNK) -> TokenLossOutput:
+    """Mimic-distillation loss (reference compute_align_loss semantics):
+    token-mean over the response mask of -sum_v p_t(v) logp_s(v), with NO
+    next-token shift (teacher and student are aligned position-wise)."""
+    b, t, d_s = hidden_s.shape
+    v = min(w_head_s.shape[0], w_head_t.shape[0]) if vocab_limit is None else vocab_limit
+    h_s = hidden_s.reshape(b * t, d_s)
+    h_t = hidden_t.reshape(b * t, hidden_t.shape[-1])
+    if distill_all_tokens:
+        mask = jnp.ones((b * t,), jnp.float32)
+    else:
+        mask = (labels.reshape(b * t) != ignore_index).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    weight = mask / denom
+    h_t = jax.lax.stop_gradient(h_t)
+    w_head_t = jax.lax.stop_gradient(w_head_t)
+    loss = chunked_kd_cross_entropy(h_s, w_head_s, h_t, w_head_t, weight, v, chunk)
+    return TokenLossOutput(loss, denom)
+
+
+def sequence_log_prob(hidden, w_head, labels, ignore_index: int = -100,
+                      vocab_limit: Optional[int] = None,
+                      average: bool = False,
+                      chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+    """Per-sequence sum (or mean) of response-token log-probs.
+
+    Matches DPOTrainer.get_logp (dpo_trainer.py:462-495): labels shifted by
+    one against logits, mask = shifted labels != ignore_index.
+    Returns [B] fp32.
+    """
+    hidden = hidden[:, :-1]
+    labels = labels[:, 1:]
+    b, t, d = hidden.shape
+    v = w_head.shape[0] if vocab_limit is None else vocab_limit
+    h = hidden.reshape(b * t, d)
+    ids = labels.reshape(b * t)
+    mask = (ids != ignore_index)
+    safe_ids = jnp.where(mask, ids, 0).astype(jnp.int32)
+    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk)
+    per_tok = (picked - lse) * mask.astype(jnp.float32)
+    per_seq = per_tok.reshape(b, t).sum(axis=1)
+    if average:
+        denom = jnp.maximum(mask.astype(jnp.float32).reshape(b, t).sum(axis=1), 1.0)
+        per_seq = per_seq / denom
+    return per_seq
+
+
+class DPOOutput(NamedTuple):
+    losses: jnp.ndarray          # [B] (or [2B] for kto_pair)
+    chosen_rewards: jnp.ndarray  # [B]
+    rejected_rewards: jnp.ndarray
+
+
+def dpo_loss(policy_chosen_logps, policy_rejected_logps,
+             reference_chosen_logps, reference_rejected_logps,
+             *, beta: float = 0.1, label_smoothing: float = 0.0,
+             loss_type: str = "sigmoid",
+             reference_free: bool = False) -> DPOOutput:
+    """Preference losses: sigmoid | hinge | ipo | kto_pair
+    (parity with reference dpo_trainer.py:497-562)."""
+    pi_logratios = policy_chosen_logps - policy_rejected_logps
+    ref_logratios = 0.0 if reference_free else (
+        reference_chosen_logps - reference_rejected_logps)
+    logits = pi_logratios - ref_logratios
+
+    if loss_type == "sigmoid":
+        losses = (
+            -jax.nn.log_sigmoid(beta * logits) * (1 - label_smoothing)
+            - jax.nn.log_sigmoid(-beta * logits) * label_smoothing
+        )
+    elif loss_type == "hinge":
+        losses = jax.nn.relu(1 - beta * logits)
+    elif loss_type == "ipo":
+        losses = (logits - 1 / (2 * beta)) ** 2
+    elif loss_type == "kto_pair":
+        chosen_kl = jnp.clip(
+            jnp.mean(policy_chosen_logps - reference_chosen_logps), min=0)
+        rejected_kl = jnp.clip(
+            jnp.mean(policy_rejected_logps - reference_rejected_logps), min=0)
+        chosen_logratios = policy_chosen_logps - reference_chosen_logps
+        rejected_logratios = policy_rejected_logps - reference_rejected_logps
+        losses = jnp.concatenate([
+            1 - jax.nn.sigmoid(beta * (chosen_logratios - rejected_kl)),
+            1 - jax.nn.sigmoid(beta * (chosen_kl - rejected_logratios)),
+        ], axis=0)
+    else:
+        raise ValueError(f"Unknown DPO loss type: {loss_type}")
+
+    chosen_rewards = beta * jax.lax.stop_gradient(
+        policy_chosen_logps - reference_chosen_logps)
+    rejected_rewards = beta * jax.lax.stop_gradient(
+        policy_rejected_logps - reference_rejected_logps)
+    return DPOOutput(losses, chosen_rewards, rejected_rewards)

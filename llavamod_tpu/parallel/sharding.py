@@ -1,0 +1,109 @@
+"""Parameter and activation sharding rules.
+
+Path-based rules map every parameter in a param tree to a PartitionSpec.
+This replaces the reference's ZeRO JSON configs + DeepSpeed engine wrapping
+(SURVEY.md §2.9): sharding is declared once, XLA/GSPMD inserts the
+collectives (all-gather for fsdp params, psum for grads, all-to-all for the
+expert einsums).
+
+Default layout (row = param, axes = (data, fsdp, expert, tensor)):
+
+  embedding / lm_head [V, D]        -> (tensor, fsdp)
+  attn in-proj  [D, H*dh]           -> (fsdp, tensor)
+  attn out-proj [H*dh, D]           -> (tensor, fsdp)
+  mlp in  [D, F]                    -> (fsdp, tensor)
+  mlp out [F, D]                    -> (tensor, fsdp)
+  moe experts [E, ...]              -> ('expert',) + dense rule
+  router [D, E]                     -> (fsdp, None)
+  norms / biases / small params     -> replicated
+  batch activations [B, T, ...]     -> (('data','fsdp'), None, ...)
+
+The teacher (frozen) tree uses the same rules — it is just a second pytree
+in the same pjit program (SURVEY.md §5 "distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    """Sharding rule lookup by parameter path and rank."""
+    is_expert = "/experts/" in path
+    base_ndim = ndim - 1 if is_expert else ndim
+
+    def wrap(spec_dims):
+        if is_expert:
+            return P("expert", *spec_dims)
+        return P(*spec_dims)
+
+    if base_ndim <= 1:
+        return wrap([None] * base_ndim)  # norms, biases, scalars
+
+    # --- vocab-carrying matrices ---
+    if "embedding" in path or "lm_head" in path:
+        return wrap(["tensor", "fsdp"])
+
+    # --- router: tiny, replicate the expert dim ---
+    if path.endswith("router") or path.endswith("coef"):
+        return wrap(["fsdp", None])
+
+    # --- attention ---
+    if "/attn/" in path or "/self_attn/" in path:
+        if "wo" in path or "/o/" in path or path.endswith("o/kernel"):
+            return wrap(["tensor", "fsdp"] + [None] * (base_ndim - 2))
+        return wrap(["fsdp", "tensor"] + [None] * (base_ndim - 2))
+
+    # --- mlp ---
+    if path.endswith("down") or "down/" in path or "fc2" in path:
+        return wrap(["tensor", "fsdp"] + [None] * (base_ndim - 2))
+    if (path.endswith("gate") or path.endswith("up") or "fc1" in path
+            or "gate/" in path or "up/" in path):
+        return wrap(["fsdp", "tensor"] + [None] * (base_ndim - 2))
+
+    # --- generic 2D+ (projector kernels, vit patch embed, qformer, ...) ---
+    return wrap(["fsdp", None] + [None] * (base_ndim - 2))
+
+
+def param_specs(params) -> Any:
+    """PartitionSpec tree matching `params` structure."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), np.ndim(leaf)), params)
+
+
+def batch_spec(ndim: int, *, seq_sharded: bool = False) -> P:
+    """Batch tensors: shard batch dim over (data, fsdp)."""
+    dims = [("data", "fsdp")]
+    if seq_sharded and ndim > 1:
+        dims.append("tensor")
+    dims += [None] * (ndim - len(dims))
+    return P(*dims)
+
+
+def shard_params(mesh: Mesh, params):
+    """Device-put a param tree with its sharding rules applied."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_batch(mesh: Mesh, batch):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x)))),
+        batch)

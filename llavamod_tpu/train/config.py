@@ -1,0 +1,57 @@
+"""Training configuration.
+
+One explicit dataclass replacing the reference's five HfArgumentParser
+dataclasses (config/args.py:8-133).  Defaults are the recipe of record
+(shells/train/qwen/{pretrain,dense2dense_distillation,
+dense2sparse_distillation,preference_distillation}.sh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # --- optimization ---
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None   # separate LR for the projector
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.03
+    lr_schedule: str = "cosine"               # cosine | linear | constant
+    total_steps: int = 1000
+    grad_accum_steps: int = 1
+    seed: int = 42
+
+    # --- stage / trainable selection ---
+    stage: str = "pretrain"  # pretrain | finetune | align | dpo
+    tune_mm_mlp_adapter: bool = False          # stage-1: projector only
+    freeze_mm_mlp_adapter: bool = False
+    train_modules: Tuple[str, ...] = ()        # substrings; empty = all of llm
+    moe_finetune: bool = False
+
+    # --- distillation (align) ---
+    align_loss_type: str = "only_kd"           # only_kd | kd_lm
+    distill_all_tokens: bool = False
+    moe_loss_enable: bool = True
+    kd_vocab_limit: Optional[int] = None       # e.g. 151936 (qwen shared prefix)
+
+    # --- preference (dpo) ---
+    dpo_beta: float = 0.1
+    dpo_loss_type: str = "kto_pair"            # sigmoid|hinge|ipo|kto_pair
+    dpo_label_smoothing: float = 0.0
+    reference_free: bool = False
+
+    # --- numerics ---
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+    vocab_chunk: int = 8192
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,128 @@
+"""Optimizer construction with parameter groups.
+
+Replaces LLaVATrainer.create_optimizer (reference train/llava_trainer.py:152-252):
+  * decay / no-decay split (no decay for rank<2 params: norms, biases),
+  * separate projector learning rate (`mm_projector_lr`),
+  * trainable-set masking (stage-1 projector-only; align/dpo train_modules;
+    frozen vision tower) — frozen params get zero updates instead of the
+    reference's requires_grad_ bookkeeping,
+  * MoE params need no special "group splitting" (reference
+    llava_trainer.py:223-228 splits them for DeepSpeed's partitioner);
+    with pjit, expert params are just sharded on the 'expert' axis.
+
+All masks are pytree-structural and jit-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from llavamod_tpu.train.config import TrainConfig
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def trainable_mask(params, cfg: TrainConfig) -> Any:
+    """True where the param receives updates.
+
+    Mirrors the reference's freezing logic: stage-1 trains only the projector
+    (train/train.py:478-481); vision tower always frozen
+    (clip_encoder.py:31); align/dpo optionally restrict to `train_modules`
+    (llava_qwen1_5_moe.py:496-506)."""
+
+    def decide(path, leaf):
+        p = _path_str(path)
+        if p.startswith("vision"):
+            return False
+        is_projector = p.startswith("projector")
+        if cfg.stage == "pretrain" or cfg.tune_mm_mlp_adapter:
+            return is_projector
+        if is_projector and cfg.freeze_mm_mlp_adapter:
+            return False
+        if cfg.train_modules:
+            return is_projector or any(m in p for m in cfg.train_modules)
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def _label_tree(params, cfg: TrainConfig):
+    """Labels: frozen | projector | default (used by multi_transform)."""
+    mask = trainable_mask(params, cfg)
+
+    def decide(path, leaf, trainable):
+        if not trainable:
+            return "frozen"
+        if _path_str(path).startswith("projector") and cfg.mm_projector_lr:
+            return "projector"
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(decide, params, mask)
+
+
+def make_lr_schedule(cfg: TrainConfig, base_lr: float) -> optax.Schedule:
+    warmup = max(int(cfg.total_steps * cfg.warmup_ratio), 0)
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup, cfg.total_steps, end_value=0.0)
+    if cfg.lr_schedule == "linear":
+        return optax.join_schedules([
+            optax.linear_schedule(0.0, base_lr, warmup),
+            optax.linear_schedule(base_lr, 0.0, cfg.total_steps - warmup),
+        ], [warmup])
+    return optax.constant_schedule(base_lr)
+
+
+def _adamw(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
+    decay_mask = lambda params: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.ndim(x) >= 2, params)
+    return optax.adamw(
+        learning_rate=make_lr_schedule(cfg, lr),
+        b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+        weight_decay=cfg.weight_decay, mask=decay_mask)
+
+
+def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
+    labels = _label_tree(params, cfg)
+    transforms = {
+        "default": _adamw(cfg, cfg.learning_rate),
+        "projector": _adamw(cfg, cfg.mm_projector_lr or cfg.learning_rate),
+        "frozen": optax.set_to_zero(),
+    }
+    tx = optax.multi_transform(transforms, labels)
+    chain = []
+    if cfg.max_grad_norm:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    chain.append(tx)
+    opt = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, cfg.grad_accum_steps)
+    return opt
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, cfg: TrainConfig) -> "TrainState":
+        opt = build_optimizer(params, cfg)
+        return cls(jnp.zeros((), jnp.int32), params, opt.init(params))
+
+
+def apply_updates(state: TrainState, grads, cfg: TrainConfig) -> TrainState:
+    opt = build_optimizer(state.params, cfg)
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(state.step + 1, new_params, new_opt)

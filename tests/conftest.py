@@ -1,8 +1,10 @@
 """Test configuration: force JAX onto 8 virtual CPU devices.
 
-Multi-chip sharding (pjit over a data x expert x tensor mesh) is validated on
-a host-CPU mesh via --xla_force_host_platform_device_count, per the JAX
-multi-device testing recipe.  Must run before `import jax`.
+This image's sitecustomize imports jax and registers the real-TPU 'axon'
+backend in EVERY python process, so env vars alone are too late — we must
+re-point the config and clear the backend cache before any test touches jax.
+Multi-chip sharding is then validated on a host-CPU mesh via
+--xla_force_host_platform_device_count per the JAX multi-device test recipe.
 """
 
 import os
@@ -15,7 +17,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:
+    from jax._src import xla_bridge
+
+    xla_bridge._clear_backends()
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
 
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -1,0 +1,137 @@
+"""Decoder model tests: shapes, KV-cache decode parity, MoE upcycling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llavamod_tpu.models.llm import decoder
+from llavamod_tpu.models.llm.config import tiny_config
+from llavamod_tpu.models.llm.upcycle import activated_params, moe_layer_indices, upcycle
+
+CFG = tiny_config()
+
+# Eager per-op dispatch compiles each distinct op shape (~0.4s each on this
+# CPU stack); jit the whole forward instead.
+_fwd = jax.jit(
+    lambda params, ids, seg=None, train=False, cfg=CFG: decoder.forward(
+        params, cfg, input_ids=ids, segment_ids=seg, train=train),
+    static_argnames=("train", "cfg"))
+
+
+def _params():
+    return decoder.init(CFG, jax.random.PRNGKey(0))
+
+
+def test_forward_shapes():
+    params = _params()
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, CFG.vocab_size)
+    out = decoder.forward(params, CFG, input_ids=ids)
+    assert out.hidden.shape == (2, 16, CFG.hidden_size)
+    logits = decoder.logits_from_hidden(params, CFG, out.hidden)
+    assert logits.shape == (2, 16, CFG.vocab_size)
+
+
+def test_padding_invariance():
+    """Padding tokens (segment 0) must not affect real-token hidden states."""
+    params = _params()
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, CFG.vocab_size)
+    seg = jnp.ones((1, 8), jnp.int32)
+    out_short = _fwd(params, ids, seg)
+
+    ids_padded = jnp.concatenate([ids, jnp.zeros((1, 4), ids.dtype)], axis=1)
+    seg_padded = jnp.concatenate([seg, jnp.zeros((1, 4), jnp.int32)], axis=1)
+    out_padded = _fwd(params, ids_padded, seg_padded)
+    np.testing.assert_allclose(out_padded.hidden[:, :8], out_short.hidden,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kv_cache_decode_matches_full_forward():
+    params = _params()
+    t = 12
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, t), 0, CFG.vocab_size)
+    full = _fwd(params, ids)
+
+    step = jax.jit(lambda p, i, c: decoder.forward(p, CFG, input_ids=i, cache=c))
+    # prefill 8, then decode 4 one at a time
+    cache = decoder.init_cache(CFG, 2, max_len=16, dtype=jnp.float32)
+    out = step(params, ids[:, :8], cache)
+    hiddens = [out.hidden]
+    cache = out.cache
+    for i in range(8, t):
+        out = step(params, ids[:, i:i + 1], cache)
+        hiddens.append(out.hidden)
+        cache = out.cache
+    stitched = jnp.concatenate(hiddens, axis=1)
+    np.testing.assert_allclose(stitched, full.hidden, rtol=2e-3, atol=2e-4)
+
+
+def test_moe_layer_indices():
+    assert moe_layer_indices("sparse", 8) == (0, 2, 4, 6)
+    assert moe_layer_indices("first_half", 8) == (0, 1, 2, 3)
+    assert moe_layer_indices("second_half", 8) == (4, 5, 6, 7)
+    assert moe_layer_indices("dense", 4) == (0, 1, 2, 3)
+    assert moe_layer_indices("custom", 8, explicit=[1, 5]) == (1, 5)
+
+
+def test_upcycle_preserves_function_at_init():
+    """With a zero-init router, top-2 gating splits every token between two
+    identical experts whose combined (renormalized) output equals the dense
+    MLP — so the upcycled model must reproduce the dense forward exactly."""
+    params = _params()
+    moe_cfg, moe_params = upcycle(CFG, params, moe_mode="sparse",
+                                  num_experts=4, top_k=2,
+                                  capacity_factor=8.0)
+    assert moe_cfg.moe_layers == (0,)
+    # expert weights are exact copies
+    dense_up = params["layers"][0]["mlp"]["up"]
+    experts_up = moe_params["layers"][0]["mlp"]["experts"]["up"]
+    for e in range(4):
+        np.testing.assert_array_equal(experts_up[e], dense_up)
+
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, CFG.vocab_size)
+    seg = jnp.ones((2, 16), jnp.int32)
+    dense_out = _fwd(params, ids, seg)
+    moe_out = _fwd(moe_params, ids, seg, train=True, cfg=moe_cfg)
+    np.testing.assert_allclose(moe_out.hidden, dense_out.hidden,
+                               rtol=1e-4, atol=1e-5)
+    assert len(moe_out.moe_losses) == 1
+
+
+def test_upcycle_dense_params_untouched():
+    params = _params()
+    _, moe_params = upcycle(CFG, params, moe_mode="sparse", num_experts=2)
+    # non-MoE layer unchanged (same arrays)
+    assert moe_params["layers"][1]["mlp"]["up"] is params["layers"][1]["mlp"]["up"]
+    # original tree still has its dense mlp at layer 0
+    assert "router" not in params["layers"][0]["mlp"]
+
+
+def test_activated_params_counts():
+    base = activated_params(CFG)
+    moe_cfg, _ = upcycle(CFG, _params(), moe_mode="sparse", num_experts=4, top_k=2)
+    moe = activated_params(moe_cfg)
+    # top-2 of 4 experts: one extra activated FFN per MoE layer
+    extra_ffn = 3 * CFG.hidden_size * CFG.intermediate_size
+    router = CFG.hidden_size * 4
+    assert moe - base == len(moe_cfg.moe_layers) * (extra_ffn + router)
+
+
+def test_gemma_style_flags():
+    cfg = tiny_config(norm_offset=1.0, attn_logit_softcap=30.0,
+                      final_logit_softcap=20.0, post_attn_norm=True,
+                      post_mlp_norm=True, embed_scale=8.0,
+                      activation="gelu_tanh")
+    params = decoder.init(cfg, jax.random.PRNGKey(5))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    out = _fwd(params, ids, cfg=cfg)
+    logits = jax.jit(decoder.logits_from_hidden, static_argnums=1)(params, cfg, out.hidden)
+    assert float(jnp.abs(logits).max()) <= 20.0
+
+
+def test_layernorm_parallel_block():
+    cfg = tiny_config(norm="layernorm", parallel_block=True, gated_mlp=False,
+                      mlp_bias=True, o_bias=True, partial_rotary_factor=0.5)
+    params = decoder.init(cfg, jax.random.PRNGKey(6))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    out = _fwd(params, ids, cfg=cfg)
+    assert np.isfinite(np.asarray(out.hidden)).all()

@@ -1,0 +1,179 @@
+"""Golden-value and gradient tests for the chunked loss ops.
+
+Reference semantics are re-derived with dense jnp math (softmax over the full
+vocab) — the chunked implementations must match to fp32 tolerance, including
+gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llavamod_tpu.ops.losses import (
+    chunked_kd_cross_entropy,
+    chunked_lse_and_gather,
+    dpo_loss,
+    kd_align_loss,
+    sequence_log_prob,
+    softmax_cross_entropy,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _rand(*shape, key=KEY, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+def dense_ce(hidden, w, labels, shift=True, ignore=-100, vocab_limit=None):
+    if shift:
+        hidden, labels = hidden[:, :-1], labels[:, 1:]
+    logits = jnp.einsum("btd,vd->btv", hidden, w).astype(jnp.float32)
+    if vocab_limit:
+        logits = logits[..., :vocab_limit]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    mask = labels != ignore
+    safe = jnp.where(mask, labels, 0)
+    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+def test_chunked_lse_and_gather_matches_dense():
+    n, d, v = 12, 16, 50
+    h = _rand(n, d)
+    w = _rand(v, d, key=jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (n,), 0, 40)
+    lse, picked = chunked_lse_and_gather(h, w, ids, 40, chunk=16)
+    logits = (h @ w[:40].T).astype(jnp.float32)
+    np.testing.assert_allclose(lse, jax.scipy.special.logsumexp(logits, axis=-1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        picked, jnp.take_along_axis(logits, ids[:, None], 1)[:, 0], rtol=1e-5)
+
+
+def test_chunked_lse_gather_grads():
+    n, d, v = 6, 8, 30
+    h = _rand(n, d)
+    w = _rand(v, d, key=jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (n,), 0, v)
+
+    def f_chunked(h, w):
+        lse, picked = chunked_lse_and_gather(h, w, ids, v, chunk=8)
+        return jnp.sum(lse * 0.7 - picked * 1.3)
+
+    def f_dense(h, w):
+        logits = (h @ w.T).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, ids[:, None], 1)[:, 0]
+        return jnp.sum(lse * 0.7 - picked * 1.3)
+
+    g1 = jax.grad(f_chunked, argnums=(0, 1))(h, w)
+    g2 = jax.grad(f_dense, argnums=(0, 1))(h, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_softmax_cross_entropy_matches_dense():
+    b, t, d, v = 2, 10, 16, 64
+    h = _rand(b, t, d)
+    w = _rand(v, d, key=jax.random.PRNGKey(3))
+    labels = jax.random.randint(jax.random.PRNGKey(4), (b, t), 0, v)
+    labels = labels.at[:, :3].set(-100)
+    out = softmax_cross_entropy(h, w, labels, chunk=16)
+    np.testing.assert_allclose(out.loss, dense_ce(h, w, labels), rtol=1e-5)
+
+
+def test_kd_align_loss_matches_dense_reference():
+    """Reference math (align_trainer.py:503-528): -sum p_t logp_s, no shift,
+    token-mean over labels != -100; vocab sliced to shared prefix."""
+    b, t, ds, dt, vs, vt = 2, 6, 8, 12, 40, 48
+    h_s = _rand(b, t, ds)
+    h_t = _rand(b, t, dt, key=jax.random.PRNGKey(5))
+    w_s = _rand(vs, ds, key=jax.random.PRNGKey(6))
+    w_t = _rand(vt, dt, key=jax.random.PRNGKey(7))
+    labels = jax.random.randint(jax.random.PRNGKey(8), (b, t), 0, vs)
+    labels = labels.at[0, :2].set(-100)
+
+    out = kd_align_loss(h_s, w_s, h_t, w_t, labels, chunk=16)
+
+    v = vs  # min(vs, vt)
+    s = jnp.einsum("btd,vd->btv", h_s, w_s).astype(jnp.float32)[..., :v]
+    tl = jnp.einsum("btd,vd->btv", h_t, w_t).astype(jnp.float32)[..., :v]
+    p_t = jax.nn.softmax(tl, axis=-1)
+    logp_s = jax.nn.log_softmax(s, axis=-1)
+    x = jnp.sum(p_t * logp_s, axis=-1)
+    mask = (labels != -100).astype(jnp.float32)
+    expected = -jnp.sum(x * mask) / jnp.sum(mask)
+    np.testing.assert_allclose(out.loss, expected, rtol=1e-5)
+
+
+def test_kd_loss_grad_is_ps_minus_pt():
+    b, t, d, v = 1, 4, 8, 24
+    h_s = _rand(b, t, d)
+    h_t = _rand(b, t, d, key=jax.random.PRNGKey(9))
+    w = _rand(v, d, key=jax.random.PRNGKey(10))
+    labels = jnp.zeros((b, t), jnp.int32)
+
+    def f_chunked(h_s):
+        return kd_align_loss(h_s, w, h_t, w, labels, chunk=8).loss
+
+    def f_dense(h_s):
+        s = jnp.einsum("btd,vd->btv", h_s, w).astype(jnp.float32)
+        tl = jnp.einsum("btd,vd->btv", h_t, w).astype(jnp.float32)
+        x = jnp.sum(jax.nn.softmax(tl, -1) * jax.nn.log_softmax(s, -1), -1)
+        return -jnp.mean(x)
+
+    np.testing.assert_allclose(jax.grad(f_chunked)(h_s), jax.grad(f_dense)(h_s),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_kd_loss_distill_all_tokens():
+    b, t, d, v = 1, 4, 8, 16
+    h = _rand(b, t, d)
+    labels = jnp.full((b, t), -100)
+    w = _rand(v, d, key=jax.random.PRNGKey(11))
+    out = kd_align_loss(h, w, h, w, labels, distill_all_tokens=True, chunk=8)
+    # teacher == student => KL cross term = entropy; loss = H(p) > 0, finite
+    assert np.isfinite(float(out.loss))
+    assert float(out.num_tokens) == b * t
+
+
+def test_sequence_log_prob_matches_dense():
+    b, t, d, v = 2, 8, 8, 32
+    h = _rand(b, t, d)
+    w = _rand(v, d, key=jax.random.PRNGKey(12))
+    labels = jax.random.randint(jax.random.PRNGKey(13), (b, t), 0, v)
+    labels = labels.at[:, :4].set(-100)
+
+    got = sequence_log_prob(h, w, labels, chunk=8)
+
+    logits = jnp.einsum("btd,vd->btv", h[:, :-1], w).astype(jnp.float32)
+    lab = labels[:, 1:]
+    mask = lab != -100
+    logp = jax.nn.log_softmax(logits, -1)
+    picked = jnp.take_along_axis(logp, jnp.where(mask, lab, 0)[..., None], -1)[..., 0]
+    expected = (picked * mask).sum(-1)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["sigmoid", "hinge", "ipo", "kto_pair"])
+def test_dpo_loss_types(loss_type):
+    pc = jnp.array([-10.0, -12.0])
+    pr = jnp.array([-15.0, -11.0])
+    rc = jnp.array([-11.0, -12.5])
+    rr = jnp.array([-14.0, -11.5])
+    out = dpo_loss(pc, pr, rc, rr, beta=0.1, loss_type=loss_type)
+    expected_len = 4 if loss_type == "kto_pair" else 2
+    assert out.losses.shape == (expected_len,)
+    assert np.all(np.isfinite(out.losses))
+    np.testing.assert_allclose(out.chosen_rewards, 0.1 * (pc - rc), rtol=1e-6)
+
+
+def test_dpo_sigmoid_golden():
+    # hand-computed: logits = (pc-pr)-(rc-rr) = (5-(-1)) ... single sample
+    pc, pr, rc, rr = map(jnp.atleast_1d, (-10.0, -15.0, -11.0, -14.0))
+    out = dpo_loss(pc, pr, rc, rr, beta=0.1, loss_type="sigmoid")
+    logits = (pc - pr) - (rc - rr)  # 5 - 3 = 2
+    expected = -jax.nn.log_sigmoid(0.1 * logits)
+    np.testing.assert_allclose(out.losses, expected, rtol=1e-6)

@@ -1,0 +1,121 @@
+"""Unit tests for top-k gating and MoE dispatch (DeepSpeed-parity semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llavamod_tpu.ops.moe import GatingConfig, moe_ffn, top_k_gating
+
+
+def test_capacity_formula():
+    cfg = GatingConfig(num_experts=4, top_k=2, capacity_factor=1.5,
+                       eval_capacity_factor=2.0, min_capacity=4)
+    # ceil(16/4 * 1.5 * 2) = 12
+    assert cfg.capacity(16, train=True) == 12
+    assert cfg.capacity(16, train=False) == 16
+    assert cfg.capacity(2, train=True) == 4  # min_capacity floor
+
+
+def test_top1_every_token_routed_when_capacity_ample():
+    s, e = 16, 4
+    cfg = GatingConfig(num_experts=e, top_k=1, capacity_factor=4.0)
+    logits = jax.random.normal(jax.random.PRNGKey(0), (s, e))
+    out = top_k_gating(logits, cfg, train=True)
+    # every token dispatched exactly once
+    np.testing.assert_allclose(out.dispatch.sum(axis=(1, 2)), np.ones(s))
+    # combine weight equals the top-1 softmax prob renormalized to itself = 1
+    np.testing.assert_allclose(out.combine.sum(axis=(1, 2)), np.ones(s), rtol=1e-6)
+
+
+def test_top2_combine_weights_renormalized():
+    s, e = 8, 4
+    cfg = GatingConfig(num_experts=e, top_k=2, capacity_factor=8.0)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (s, e))
+    out = top_k_gating(logits, cfg, train=True)
+    # each token goes to exactly 2 slots; combine sums to 1 (renormalized)
+    np.testing.assert_allclose(out.dispatch.sum(axis=(1, 2)), 2 * np.ones(s))
+    np.testing.assert_allclose(out.combine.sum(axis=(1, 2)), np.ones(s), rtol=1e-5)
+    # dispatched expert/slot pairs match combine support
+    assert np.all((out.combine > 0) <= (out.dispatch > 0))
+
+
+def test_capacity_dropping():
+    # all tokens prefer expert 0; capacity forces drops
+    s, e = 8, 2
+    cfg = GatingConfig(num_experts=e, top_k=1, deterministic_capacity=3)
+    logits = jnp.stack([jnp.full((s,), 5.0), jnp.full((s,), -5.0)], axis=1)
+    out = top_k_gating(logits, cfg, train=True)
+    kept = out.dispatch[:, 0, :].sum()
+    assert kept == 3  # only `capacity` tokens kept
+    # first 3 tokens (cumsum order) survive, later ones dropped
+    np.testing.assert_allclose(out.dispatch.sum(axis=(1, 2)),
+                               [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_slot_positions_unique_per_expert():
+    s, e = 32, 4
+    cfg = GatingConfig(num_experts=e, top_k=2, capacity_factor=2.0)
+    logits = jax.random.normal(jax.random.PRNGKey(2), (s, e))
+    out = top_k_gating(logits, cfg, train=True)
+    # no slot may receive two tokens
+    slot_use = out.dispatch.sum(axis=0)  # [E, C]
+    assert slot_use.max() <= 1.0 + 1e-6
+
+
+def test_second_choice_placed_after_first():
+    # DeepSpeed parity: choice-2 tokens consume capacity after all choice-1
+    s, e = 4, 2
+    cfg = GatingConfig(num_experts=e, top_k=2, deterministic_capacity=8)
+    # tokens 0,1: expert0 strongly first; tokens 2,3: expert1 first, expert0 second
+    logits = jnp.array([[5.0, -5.0], [5.0, -5.0], [-5.0, 5.0], [-5.0, 5.0]])
+    out = top_k_gating(logits, cfg, train=True)
+    d0 = np.array(out.dispatch[:, 0, :])  # expert-0 slots
+    # tokens 0,1 occupy slots 0,1 (first choice); tokens 2,3 slots 2,3 (second)
+    assert d0[0, 0] == 1 and d0[1, 1] == 1
+    assert d0[2, 2] == 1 and d0[3, 3] == 1
+
+
+def test_aux_loss_uniform_router():
+    s, e = 64, 4
+    cfg = GatingConfig(num_experts=e, top_k=2, capacity_factor=8.0)
+    logits = jnp.zeros((s, e))
+    out = top_k_gating(logits, cfg, train=True)
+    # uniform gates: me = 1/E; argmax ties -> all to expert 0: ce = onehot
+    # aux = E^2 * mean(me*ce) = E^2 * (1/E * 1)/E = 1
+    np.testing.assert_allclose(out.aux_loss, 1.0, rtol=1e-5)
+
+
+def test_padding_tokens_excluded():
+    s, e = 8, 2
+    cfg = GatingConfig(num_experts=e, top_k=1, deterministic_capacity=8)
+    logits = jax.random.normal(jax.random.PRNGKey(3), (s, e))
+    valid = jnp.array([1, 1, 1, 1, 0, 0, 0, 0], bool)
+    out = top_k_gating(logits, cfg, train=True, token_valid=valid)
+    np.testing.assert_allclose(out.dispatch[4:].sum(), 0.0)
+
+
+def test_moe_ffn_identity_experts():
+    s, d, e = 8, 4, 2
+    cfg = GatingConfig(num_experts=e, top_k=2, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(4), (s, d))
+    logits = jax.random.normal(jax.random.PRNGKey(5), (s, e))
+    out = top_k_gating(logits, cfg, train=True)
+    y = moe_ffn(x, out.dispatch, out.combine, lambda xe: xe)  # identity experts
+    # identity experts + combine weights summing to 1 => y == x
+    np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-6)
+
+
+def test_gating_grad_flows_to_router():
+    s, e = 8, 4
+    cfg = GatingConfig(num_experts=e, top_k=2, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(6), (s, 4))
+
+    def f(logits):
+        out = top_k_gating(logits, cfg, train=True)
+        y = moe_ffn(x, out.dispatch, out.combine, lambda xe: xe * 2.0)
+        return jnp.sum(y ** 2) + 0.01 * out.aux_loss
+
+    logits = jax.random.normal(jax.random.PRNGKey(7), (s, e))
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
