@@ -75,7 +75,7 @@ def main():
 
     tcfg = TrainConfig(stage="align", align_loss_type="only_kd",
                        compute_dtype="bfloat16", remat=True,
-                       kd_vocab_limit=151936, vocab_chunk=16384,
+                       kd_vocab_limit=151936, vocab_chunk=8192,
                        total_steps=10_000, max_grad_norm=1.0)
 
     state = TrainState.create(student_params, tcfg)

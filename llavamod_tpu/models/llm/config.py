@@ -58,6 +58,11 @@ class DecoderConfig:
     moe_use_residual: bool = False
     router_aux_loss_coef: float = 0.01
 
+    # --- compile strategy ---
+    # lax.scan over (period-stacked) layers: one traced layer block instead of
+    # num_layers inlined copies => ~L/period x faster XLA compiles.
+    scan_layers: bool = True
+
     def __post_init__(self):
         if self.head_dim is None:
             object.__setattr__(self, "head_dim", self.hidden_size // self.num_heads)

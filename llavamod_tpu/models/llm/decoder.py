@@ -313,6 +313,77 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     return x, new_kv, aux, router_probs
 
 
+def _layer_kind(cfg: DecoderConfig, i: int) -> Tuple[bool, int]:
+    """Structural signature of layer i: (is_moe, sliding-window phase)."""
+    is_moe = cfg.is_moe and (i in cfg.moe_layers)
+    phase = i % cfg.sliding_window_pattern if cfg.sliding_window else 0
+    return (is_moe, phase)
+
+
+def _layer_period(cfg: DecoderConfig) -> int:
+    """Smallest period p such that layer kinds repeat with period p."""
+    kinds = [_layer_kind(cfg, i) for i in range(cfg.num_layers)]
+    for p in range(1, cfg.num_layers + 1):
+        if cfg.num_layers % p == 0 and all(
+                kinds[i] == kinds[i % p] for i in range(cfg.num_layers)):
+            return p
+    return cfg.num_layers
+
+
+def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
+                 train: bool, attn_impl: str, remat: bool):
+    """lax.scan over period-stacked layers (prefill/training path, no cache).
+
+    Layers are grouped into repeats of the structural period (e.g. 2 for the
+    'sparse' every-2nd-layer MoE recipe), their params stacked on a leading
+    repeat axis, and ONE repeat is traced — compile time drops by ~L/period.
+    """
+    layers = params["layers"]
+    n = len(layers)
+    p = _layer_period(cfg)
+    reps = n // p
+
+    # stack params position-by-position within the period
+    stacked = []
+    for j in range(p):
+        group = [layers[r * p + j] for r in range(reps)]
+        stacked.append(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group))
+
+    def block(x, rep_params):
+        aux_sum = jnp.zeros((), jnp.float32)
+        probs_list = []
+        for j in range(p):
+            # layer_idx=j is valid: by construction of the period, layer kind
+            # (moe membership, sliding phase) at position j is the same for
+            # every repeat.
+            x, _, aux, probs = layer_forward(
+                cfg, rep_params[j],
+                x, positions, segment_ids, j, None, train, attn_impl)
+            aux_sum = aux_sum + aux
+            if probs is not None:
+                probs_list.append(probs)
+        probs_out = (jnp.stack(probs_list) if probs_list
+                     else jnp.zeros((0, 1, 1), jnp.float32))
+        return x, (aux_sum, probs_out)
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    x, (aux_per_rep, probs_per_rep) = jax.lax.scan(
+        block, x, tuple(stacked))
+    aux_total = jnp.sum(aux_per_rep)
+    # probs_per_rep: [reps, moe_per_period, S, E] -> tuple per moe layer
+    if probs_per_rep.shape[1] > 0:
+        flat = probs_per_rep.reshape((-1,) + probs_per_rep.shape[2:])
+        router_probs = tuple(flat[i] for i in range(flat.shape[0]))
+        moe_losses = tuple(aux_per_rep)  # per-repeat sums
+    else:
+        router_probs = ()
+        moe_losses = ()
+    return x, aux_total, moe_losses, router_probs
+
+
 def forward(
     params: Params,
     cfg: DecoderConfig,
@@ -341,6 +412,13 @@ def forward(
         positions = jnp.broadcast_to(base, (b, t))
 
     x = inputs_embeds
+
+    if cache is None and cfg.scan_layers and len(params["layers"]) > 1:
+        x, aux_total, moe_losses, router_probs = _scan_layers(
+            params, cfg, x, positions, segment_ids, train, attn_impl, remat)
+        x = _norm(cfg, params["final_norm"], x)
+        return DecoderOutput(x, aux_total, moe_losses, router_probs, None)
+
     aux_total = jnp.zeros((), jnp.float32)
     moe_losses: List[jnp.ndarray] = []
     router_probs: List[jnp.ndarray] = []

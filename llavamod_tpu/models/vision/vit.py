@@ -186,7 +186,8 @@ def forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray,
 
     h = cfg.num_heads
     dh = cfg.head_dim
-    for layer in params["layers"][:num_blocks]:
+
+    def block(x, layer):
         ln1 = layer_norm(x, layer["ln1"]["weight"], layer["ln1"]["bias"],
                          cfg.layer_norm_eps)
         a = layer["attn"]
@@ -201,7 +202,16 @@ def forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray,
                          cfg.layer_norm_eps)
         m = layer["mlp"]
         hdn = _act(cfg, ln2 @ m["fc1"]["kernel"] + m["fc1"]["bias"])
-        x = x + (hdn @ m["fc2"]["kernel"] + m["fc2"]["bias"])
+        return x + (hdn @ m["fc2"]["kernel"] + m["fc2"]["bias"]), None
+
+    # scan over stacked homogeneous blocks: one traced block => fast compiles
+    active = params["layers"][:num_blocks]
+    if len(active) > 1:
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *active)
+        x, _ = jax.lax.scan(block, x, stacked)
+    else:
+        for layer in active:
+            x, _ = block(x, layer)
     return x
 
 

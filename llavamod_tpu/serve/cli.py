@@ -1,0 +1,87 @@
+"""Interactive multimodal chat CLI.
+
+Mirror of the reference's `serve/cli.py:26-123` user experience (load model,
+infer conversation template from the name, one image, chat loop, streaming
+print), on the TPU-native stack: one jitted prefill + jitted decode loop with
+a KV cache — no deepspeed launcher needed (reference docs/INFERENCE.md:6-9
+requires `deepspeed llavamod/serve/cli.py ...`).
+
+Usage:
+  python -m llavamod_tpu.serve.cli --model-path <dir> --image-file <img>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def load_image(image_file: str):
+    from io import BytesIO
+
+    from PIL import Image
+
+    if image_file.startswith(("http://", "https://")):
+        raise RuntimeError("zero-egress environment: use a local image path")
+    return Image.open(image_file).convert("RGB")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-base", default=None)
+    ap.add_argument("--image-file", required=True)
+    ap.add_argument("--conv-mode", default=None)
+    ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    args = ap.parse_args()
+
+    from llavamod_tpu import conversation as conv_lib
+    from llavamod_tpu.constants import DEFAULT_IMAGE_TOKEN
+    from llavamod_tpu.eval.generate import VQARunner
+    from llavamod_tpu.generation import GenerationConfig, decode_texts, generate
+    from llavamod_tpu.models.builder import load_pretrained_model
+
+    tokenizer, params, cfg, pp, _ = load_pretrained_model(
+        args.model_path, args.model_base)
+    template = args.conv_mode or conv_lib.infer_template_name(args.model_path)
+    print(f"[conv template: {template}]")
+
+    conv = conv_lib.get_template(template)
+    image = load_image(args.image_file)
+    pixels = pp(image)
+    runner = VQARunner(params, cfg, tokenizer, pp, template_name=template,
+                       batch_size=1)
+    gcfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, temperature=args.temperature,
+        eos_token_ids=runner._eos_ids(()),
+        pad_token_id=tokenizer.pad_token_id or 0)
+
+    first_turn = True
+    while True:
+        try:
+            user = input(f"{conv.roles[0]}: ")
+        except EOFError:
+            break
+        if not user:
+            break
+        if first_turn:
+            user = DEFAULT_IMAGE_TOKEN + "\n" + user
+            first_turn = False
+        conv.append(conv.roles[0], user)
+        conv.append(conv.roles[1], None)
+        prompt = conv.render()
+
+        batch = runner._encode_batch([prompt], [pixels])
+        gen_ids = generate(params, cfg, batch, gcfg)
+        text = decode_texts(tokenizer, gen_ids,
+                            pad_token_id=gcfg.pad_token_id)[0].strip()
+        conv.messages[-1][1] = text
+        print(f"{conv.roles[1]}: {text}")
+
+
+if __name__ == "__main__":
+    main()

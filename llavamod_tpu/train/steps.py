@@ -105,7 +105,7 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig) -> Callable:
         metrics["loss"] = loss
         return loss, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: MultimodalBatch) -> Tuple[TrainState, Metrics]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
@@ -173,7 +173,7 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
         metrics["loss"] = loss
         return loss, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, teacher_params, batch: MultimodalBatch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, teacher_params, batch)
@@ -267,7 +267,7 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
         metrics["loss"] = loss
         return loss, metrics
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
+    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
     def _step(state: TrainState, ref_params, batch2b, b, m):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, ref_params, batch2b, b, m)
