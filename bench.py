@@ -44,6 +44,13 @@ def main():
     b = int(os.environ.get("BENCH_BATCH", "2"))
     t = int(os.environ.get("BENCH_SEQ", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
+    # bisection knobs (defaults = the full headline workload)
+    attn = os.environ.get("BENCH_ATTN", "auto")          # auto|flash|xla
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    use_moe = os.environ.get("BENCH_MOE", "1") == "1"
+    teacher_size = os.environ.get("BENCH_TEACHER", "1.8b")  # 1.8b|0.5b
+    scan = os.environ.get("BENCH_SCAN", "1") == "1"
+    chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
     dtype = jnp.bfloat16
 
     log(f"devices: {jax.devices()}")
@@ -52,9 +59,12 @@ def main():
     key = jax.random.PRNGKey(0)
     vis_cfg = CLIP_VIT_L_336
 
-    student_llava = LlavaConfig(llm=QWEN1_5_0_5B, vision=vis_cfg,
+    student_llm = QWEN1_5_0_5B.replace(scan_layers=scan)
+    teacher_llm = (QWEN1_5_1_8B if teacher_size == "1.8b"
+                   else QWEN1_5_0_5B).replace(scan_layers=scan)
+    student_llava = LlavaConfig(llm=student_llm, vision=vis_cfg,
                                 projector_type="mlp2x_gelu", max_images=1)
-    teacher_llava = LlavaConfig(llm=QWEN1_5_1_8B, vision=vis_cfg,
+    teacher_llava = LlavaConfig(llm=teacher_llm, vision=vis_cfg,
                                 projector_type="mlp2x_gelu", max_images=1)
 
     log("initializing params (bf16)...")
@@ -67,16 +77,29 @@ def main():
     teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
                                 vision_params=vision_params)
 
-    moe_llm_cfg, moe_llm_params = upcycle(
-        student_llava.llm, student_params["llm"], moe_mode="sparse",
-        num_experts=4, top_k=2, capacity_factor=1.5, eval_capacity_factor=2.0)
-    student_llava = student_llava.replace(llm=moe_llm_cfg)
-    student_params["llm"] = moe_llm_params
+    if use_moe:
+        moe_llm_cfg, moe_llm_params = upcycle(
+            student_llava.llm, student_params["llm"], moe_mode="sparse",
+            num_experts=4, top_k=2, capacity_factor=1.5,
+            eval_capacity_factor=2.0)
+        student_llava = student_llava.replace(llm=moe_llm_cfg)
+        student_params["llm"] = moe_llm_params
 
+    # recipe of record: FFN (experts) + router train, rest frozen
+    # (dense2sparse_distillation.sh:56 --train_modules ... wg); frozen
+    # params are stop-gradient'd so their backward is DCE'd and carry no
+    # optimizer state.
     tcfg = TrainConfig(stage="align", align_loss_type="only_kd",
-                       compute_dtype="bfloat16", remat=True,
-                       kd_vocab_limit=151936, vocab_chunk=8192,
+                       compute_dtype="bfloat16", remat=remat,
+                       kd_vocab_limit=151936, vocab_chunk=chunk,
+                       attn_impl=attn,
+                       train_modules=("/gate", "/up", "/down", "router"),
                        total_steps=10_000, max_grad_norm=1.0)
+
+    # shared frozen tower: the teacher tree drops its vision copy
+    teacher_params = {k: v for k, v in teacher_params.items() if k != "vision"}
+    log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
+        f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
     state = TrainState.create(student_params, tcfg)
     step = make_align_step(student_llava, teacher_llava, tcfg)

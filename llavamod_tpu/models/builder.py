@@ -62,8 +62,10 @@ def save_model(output_dir: str, cfg: LlavaConfig, params: Any) -> str:
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump(config_to_dict(cfg), f, indent=2)
-    ocp.StandardCheckpointer().save(
-        os.path.abspath(os.path.join(output_dir, "params")), params, force=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(os.path.join(output_dir, "params")), params,
+              force=True)
+    ckpt.wait_until_finished()
     return output_dir
 
 

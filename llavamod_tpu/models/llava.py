@@ -88,13 +88,15 @@ def init(cfg: LlavaConfig, key, dtype=jnp.float32,
     }
 
 
-def encode_images(params: Params, cfg: LlavaConfig,
-                  pixels: jnp.ndarray) -> jnp.ndarray:
-    """pixels [N, 3, S, S] -> projected features [N, tokens, D_llm].
+def encode_tower(params: Params, cfg: LlavaConfig,
+                 pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels [N, 3, S, S] -> frozen tower features [N, patches, D_vis]
+    (pre-projector).
 
-    Mirrors reference encode_images (llava_arch.py:143-148): frozen tower
-    hidden layer `select_layer`, CLS dropped, then the projector.
-    """
+    Split out of encode_images so the distillation steps can run the frozen
+    CLIP tower ONCE and feed both teacher and student (whose projectors
+    differ but whose tower is the same frozen checkpoint — the reference
+    instead runs the tower twice per step, align_trainer.py:556-562)."""
     if cfg.s2_scales:
         from llavamod_tpu.models.vision.s2 import multiscale_forward
 
@@ -107,22 +109,40 @@ def encode_images(params: Params, cfg: LlavaConfig,
         feats = vit.select_features(cfg.vision, hidden, cfg.select_feature)
     if cfg.freeze_vision:
         feats = jax.lax.stop_gradient(feats)
-    return cfg.build_projector().apply(params["projector"], feats)
+    return feats
+
+
+def encode_images(params: Params, cfg: LlavaConfig, pixels: jnp.ndarray,
+                  tower_feats: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """pixels [N, 3, S, S] -> projected features [N, tokens, D_llm].
+
+    Mirrors reference encode_images (llava_arch.py:143-148): frozen tower
+    hidden layer `select_layer`, CLS dropped, then the projector.
+    """
+    if tower_feats is None:
+        tower_feats = encode_tower(params, cfg, pixels)
+    return cfg.build_projector().apply(params["projector"], tower_feats)
 
 
 def multimodal_embed(params: Params, cfg: LlavaConfig,
-                     batch: MultimodalBatch) -> jnp.ndarray:
-    """Token embeddings with image features scattered into reserved slots."""
+                     batch: MultimodalBatch,
+                     tower_feats: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Token embeddings with image features scattered into reserved slots.
+
+    tower_feats: optional precomputed [B*M, patches, D_vis] tower output;
+    when given, params['vision'] is never touched (the tree may omit it).
+    batch.image_pos may index fewer pixel rows than B*M (e.g. the DPO
+    chosen/rejected halves sharing one image set)."""
     b, t = batch.input_ids.shape
-    m = batch.pixels.shape[1]
     emb = decoder.embed(params["llm"], cfg.llm, batch.input_ids)
 
-    pixels = batch.pixels.reshape((b * m,) + batch.pixels.shape[2:])
-    feats = encode_images(params, cfg, pixels)        # [B*M, N, D]
+    # pixels may cover fewer rows than the token batch (shared image sets)
+    pixels = batch.pixels.reshape((-1,) + batch.pixels.shape[2:])
+    feats = encode_images(params, cfg, pixels, tower_feats)  # [B*M, N, D]
     n = feats.shape[1]
-    valid = batch.pixel_valid.reshape(b * m, 1, 1)
+    valid = batch.pixel_valid.reshape(-1, 1, 1)
     feats = jnp.where(valid, feats, 0.0)
-    flat = feats.reshape(b * m * n, feats.shape[-1])
+    flat = feats.reshape(-1, feats.shape[-1])
 
     gathered = jnp.take(flat, batch.image_pos.reshape(-1), axis=0)
     gathered = gathered.reshape(b, t, -1).astype(emb.dtype)
@@ -139,8 +159,9 @@ class LlavaOutput(NamedTuple):
 
 def forward(params: Params, cfg: LlavaConfig, batch: MultimodalBatch,
             *, cache: Optional[decoder.KVCache] = None, train: bool = False,
-            attn_impl: str = "auto", remat: bool = False) -> LlavaOutput:
-    emb = multimodal_embed(params, cfg, batch)
+            attn_impl: str = "auto", remat: bool = False,
+            tower_feats: Optional[jnp.ndarray] = None) -> LlavaOutput:
+    emb = multimodal_embed(params, cfg, batch, tower_feats)
     out = decoder.forward(
         params["llm"], cfg.llm, inputs_embeds=emb,
         positions=batch.positions, segment_ids=batch.segment_ids,

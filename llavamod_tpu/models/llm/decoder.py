@@ -57,7 +57,23 @@ def init_mlp(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
     return p
 
 
-def init_layer(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
+def init_moe_mlp(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
+    """Fresh-init MoE block matching the upcycle() output structure
+    (models/llm/upcycle.py): stacked per-expert FFNs + zero router."""
+    e = cfg.moe_num_experts
+    ks = jax.random.split(key, e + 1)
+    experts_list = [init_mlp(cfg, ks[i], dtype) for i in range(e)]
+    experts = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *experts_list)
+    p: Params = {"router": jnp.zeros((cfg.hidden_size, e), dtype),
+                 "experts": experts}
+    if cfg.moe_use_residual:
+        p["residual_mlp"] = init_mlp(cfg, ks[-1], dtype)
+        p["coef"] = jnp.zeros((cfg.hidden_size, 2), dtype)
+    return p
+
+
+def init_layer(cfg: DecoderConfig, key, dtype=jnp.float32,
+               layer_idx: Optional[int] = None) -> Params:
     d = cfg.hidden_size
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     ks = jax.random.split(key, 8)
@@ -74,10 +90,13 @@ def init_layer(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
     if cfg.o_bias:
         attn["bo"] = jnp.zeros((d,), dtype)
 
+    is_moe_layer = (cfg.is_moe and layer_idx is not None
+                    and layer_idx in cfg.moe_layers)
     layer: Params = {
         "input_norm": _norm_params(cfg, dtype),
         "attn": attn,
-        "mlp": init_mlp(cfg, ks[4], dtype),
+        "mlp": (init_moe_mlp(cfg, ks[4], dtype) if is_moe_layer
+                else init_mlp(cfg, ks[4], dtype)),
     }
     if not cfg.parallel_block:
         layer["post_attn_input_norm"] = _norm_params(cfg, dtype)
@@ -94,7 +113,8 @@ def init(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
         "embed": {"embedding": (jax.random.normal(
             ks[0], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
         ).astype(dtype)},
-        "layers": [init_layer(cfg, ks[i + 1], dtype) for i in range(cfg.num_layers)],
+        "layers": [init_layer(cfg, ks[i + 1], dtype, layer_idx=i)
+                   for i in range(cfg.num_layers)],
         "final_norm": _norm_params(cfg, dtype),
     }
     if not cfg.tie_word_embeddings:

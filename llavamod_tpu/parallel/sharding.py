@@ -96,14 +96,37 @@ def batch_spec(ndim: int, *, seq_sharded: bool = False) -> P:
     return P(*dims)
 
 
+def fit_spec_to_shape(mesh: Mesh, spec: P, shape) -> P:
+    """Drop sharding on dims the mesh doesn't divide (replicate instead).
+
+    Rules are written for production shapes; tiny test models (and odd
+    vocab/hidden sizes) fall back dim-by-dim to replication, like GSPMD's
+    own requirement that named shardings divide the dim."""
+    fitted = []
+    for i, axes in enumerate(spec):
+        if axes is None:
+            fitted.append(None)
+            continue
+        ax_tuple = axes if isinstance(axes, tuple) else (axes,)
+        size = int(np.prod([mesh.shape[a] for a in ax_tuple]))
+        if i < len(shape) and shape[i] % size == 0:
+            fitted.append(axes)
+        else:
+            fitted.append(None)
+    return P(*fitted)
+
+
 def shard_params(mesh: Mesh, params):
     """Device-put a param tree with its sharding rules applied."""
     specs = param_specs(params)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, fit_spec_to_shape(mesh, s, np.shape(x)))),
+        params, specs)
 
 
 def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x)))),
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, fit_spec_to_shape(mesh, batch_spec(np.ndim(x)), np.shape(x)))),
         batch)

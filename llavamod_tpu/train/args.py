@@ -1,0 +1,227 @@
+"""Argument dataclasses + CLI parser for the train entry points.
+
+Mirrors the reference's five HfArgumentParser dataclasses
+(config/args.py:8-133): ModelArguments, DataArguments, TrainingArguments,
+AlignArguments, DPOArguments — minus the GPU-only knobs (bits/quant,
+deepspeed JSON) and plus the TPU-native ones (mesh axes, attn impl,
+vocab-chunk size).  `parse_into_dataclasses` is a small HfArgumentParser
+equivalent: every dataclass field becomes a `--flag`; bools accept
+true/false; typing.List fields accept repeated values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import List, Optional, Sequence, Tuple, Type
+
+from llavamod_tpu.train.config import TrainConfig
+
+
+@dataclasses.dataclass
+class ModelArgs:
+    model_name_or_path: str = "qwen1.5-0.5b"   # preset name or checkpoint dir
+    version: str = "qwen"                      # conversation template
+    freeze_backbone: bool = False
+    tune_mm_mlp_adapter: bool = False
+    pretrain_mm_mlp_adapter: Optional[str] = None  # mm_projector.bin path
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"
+    mm_use_im_start_end: bool = False
+    s2: bool = False
+    s2_scales: str = "336,672"
+    image_tower: str = "clip-vit-l-336"
+    image_projector_type: str = "mlp2x_gelu"
+
+    # --- LoRA (train/train.py:300-331, align_train.py:290-327) ---
+    lora_enable: bool = False
+    lora_r: int = 128
+    lora_alpha: int = 256
+    lora_dropout: float = 0.05
+    only_lora_ffn: bool = True
+
+    # --- MoE (config/args.py:36-58) ---
+    moe_enable: bool = False
+    moe_mode: str = "sparse"
+    moe_layers_idx: Optional[List[int]] = None
+    ep_size: int = 1
+    num_experts: int = 4
+    top_k_experts: int = 2
+    capacity_factor: float = 1.5
+    eval_capacity_factor: float = 2.0
+    min_capacity: int = 4
+    use_residual: bool = False
+    router_aux_loss_coef: float = 0.01
+    train_modules: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class DataArgs:
+    data_path: List[str] = dataclasses.field(default_factory=list)
+    image_folder: str = ""
+    is_multimodal: bool = True
+    image_aspect_ratio: str = "pad"
+    num_frames: int = 8
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    output_dir: str = "./output"
+    per_device_train_batch_size: int = 8
+    gradient_accumulation_steps: int = 1
+    num_train_epochs: float = 1.0
+    max_steps: int = -1                 # -1 = derive from epochs
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_scheduler_type: str = "cosine"
+    max_grad_norm: float = 1.0
+    logging_steps: int = 1
+    save_steps: int = 500
+    save_total_limit: Optional[int] = None
+    model_max_length: int = 2048
+    group_by_modality_length: bool = False
+    freeze_mm_mlp_adapter: bool = False
+    moe_finetune: bool = False
+    distill_all_tokens: bool = False
+    seed: int = 42
+    dataloader_num_workers: int = 8
+    report_to: str = "none"             # none | wandb (gated on availability)
+    run_name: Optional[str] = None
+    # --- TPU-native knobs ---
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+    attn_impl: str = "auto"
+    vocab_chunk: int = 8192
+    expert_parallel: int = 1            # mesh 'expert' axis size
+    tensor_parallel: int = 1            # mesh 'tensor' axis size
+    data_parallel: int = 1              # mesh 'data' axis size (rest -> fsdp)
+
+
+@dataclasses.dataclass
+class AlignArgs:
+    """align_train.py stage (mimic distillation), config/args.py:113-121."""
+    policy_model_type: str = "sparse"   # sparse | dense
+    ref_model_type: str = "dense"
+    loss_type: str = "only_kd"          # only_kd | kd_lm
+    policy_model_name_or_path: Optional[str] = None
+    policy_pretrain_mm_mlp_adapter: Optional[str] = None
+    ref_model_name_or_path: Optional[str] = None
+    ref_pretrain_mm_mlp_adapter: Optional[str] = None
+    moe_loss_enable: bool = False
+    kd_vocab_limit: Optional[int] = None
+
+
+@dataclasses.dataclass
+class DPOArgs:
+    """dpo_train.py stage (preference distillation), config/args.py:124-131."""
+    policy_model_type: str = "sparse"
+    ref_model_type: str = "dense"
+    loss_type: str = "sigmoid"          # sigmoid | hinge | ipo | kto_pair
+    policy_model_name_or_path: Optional[str] = None
+    ref_model_name_or_path: Optional[str] = None
+    moe_loss_enable: bool = False
+    dpo_beta: float = 0.1
+    dpo_label_smoothing: float = 0.0
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls: Type) -> None:
+    group = parser.add_argument_group(cls.__name__)
+    for f in dataclasses.fields(cls):
+        name = "--" + f.name
+        ftype = f.type if not isinstance(f.type, str) else f.type
+        default = (f.default_factory() if f.default_factory
+                   is not dataclasses.MISSING else f.default)
+        # typed by annotation string (from __future__ annotations)
+        ann = str(ftype)
+        if "bool" in ann:
+            group.add_argument(name, type=_str2bool, default=default)
+        elif "List[int]" in ann:
+            group.add_argument(name, type=int, nargs="+", default=default)
+        elif "List[str]" in ann:
+            group.add_argument(name, type=str, nargs="+", default=default)
+        elif "int" in ann:
+            group.add_argument(name, type=int, default=default)
+        elif "float" in ann:
+            group.add_argument(name, type=float, default=default)
+        else:
+            group.add_argument(name, type=str, default=default)
+
+
+def parse_into_dataclasses(classes: Sequence[Type],
+                           argv: Optional[Sequence[str]] = None,
+                           prog: str = "llavamod_tpu.train") -> Tuple:
+    parser = argparse.ArgumentParser(prog=prog)
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON file of flag defaults (CLI overrides it)")
+    for cls in classes:
+        _add_dataclass_args(parser, cls)
+    ns, unknown = parser.parse_known_args(argv)
+    if unknown:
+        raise SystemExit(f"unknown arguments: {unknown}")
+    values = vars(ns)
+    if ns.config:
+        with open(ns.config) as fh:
+            overrides = json.load(fh)
+        # config file fills only flags the CLI left at their defaults
+        defaults = {a.dest: a.default for a in parser._actions}
+        for k, v in overrides.items():
+            if k in values and values[k] == defaults.get(k):
+                values[k] = v
+    out = []
+    for cls in classes:
+        kwargs = {f.name: values[f.name] for f in dataclasses.fields(cls)}
+        out.append(cls(**kwargs))
+    return tuple(out)
+
+
+def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
+                           model_args: Optional[ModelArgs] = None,
+                           align: Optional[AlignArgs] = None,
+                           dpo: Optional[DPOArgs] = None) -> TrainConfig:
+    """Fold the CLI dataclasses into the jitted-step TrainConfig."""
+    kw = dict(
+        learning_rate=targs.learning_rate,
+        mm_projector_lr=targs.mm_projector_lr,
+        weight_decay=targs.weight_decay,
+        max_grad_norm=targs.max_grad_norm,
+        warmup_ratio=targs.warmup_ratio,
+        lr_schedule=targs.lr_scheduler_type,
+        total_steps=total_steps,
+        grad_accum_steps=targs.gradient_accumulation_steps,
+        seed=targs.seed,
+        stage=stage,
+        moe_finetune=targs.moe_finetune,
+        distill_all_tokens=targs.distill_all_tokens,
+        freeze_mm_mlp_adapter=targs.freeze_mm_mlp_adapter,
+        compute_dtype=targs.compute_dtype,
+        remat=targs.remat,
+        attn_impl=targs.attn_impl,
+        vocab_chunk=targs.vocab_chunk,
+    )
+    if model_args is not None:
+        kw["tune_mm_mlp_adapter"] = model_args.tune_mm_mlp_adapter
+        if model_args.train_modules:
+            kw["train_modules"] = tuple(model_args.train_modules)
+    if align is not None:
+        kw["align_loss_type"] = align.loss_type
+        kw["moe_loss_enable"] = align.moe_loss_enable
+        kw["kd_vocab_limit"] = align.kd_vocab_limit
+    if dpo is not None:
+        kw["dpo_loss_type"] = dpo.loss_type
+        kw["dpo_beta"] = dpo.dpo_beta
+        kw["dpo_label_smoothing"] = dpo.dpo_label_smoothing
+        kw["moe_loss_enable"] = dpo.moe_loss_enable
+    return TrainConfig(**kw)

@@ -28,9 +28,12 @@ def _checkpointer():
 
 
 def save_checkpoint(output_dir: str, step: int, state) -> str:
-    """Save a full TrainState under output_dir/checkpoint-<step>."""
+    """Save a full TrainState under output_dir/checkpoint-<step> (blocking:
+    auto-resume may read it back immediately)."""
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
-    _checkpointer().save(path, state, force=True)
+    ckpt = _checkpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
     return path
 
 

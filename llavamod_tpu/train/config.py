@@ -52,6 +52,11 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     remat: bool = True
     vocab_chunk: int = 8192
+    attn_impl: str = "auto"                    # auto | flash | xla
+    # Run the frozen vision tower once per step and feed both teacher and
+    # student (valid because the tower is frozen and both sides start from
+    # the same CLIP checkpoint; auto-disabled if the vision configs differ).
+    share_vision_tower: bool = True
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -32,16 +32,30 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def trainable_mask(params, cfg: TrainConfig) -> Any:
+def trainable_mask(params, cfg: TrainConfig, lora_cfg=None) -> Any:
     """True where the param receives updates.
 
     Mirrors the reference's freezing logic: stage-1 trains only the projector
     (train/train.py:478-481); vision tower always frozen
     (clip_encoder.py:31); align/dpo optionally restrict to `train_modules`
-    (llava_qwen1_5_moe.py:496-506)."""
+    (llava_qwen1_5_moe.py:496-506).
+
+    LoRA-split trees ({'base','lora'}): every adapter leaf trains; base
+    leaves follow the normal rules EXCEPT params that carry an adapter
+    (PEFT freezes the wrapped base weight, align_train.py:290-327)."""
+    has_lora = isinstance(params, dict) and "lora" in params and "base" in params
 
     def decide(path, leaf):
         p = _path_str(path)
+        if has_lora:
+            side, _, p = p.partition("/")
+            if side == "lora":
+                return True
+            if lora_cfg is not None:
+                from llavamod_tpu.models.lora import _is_target
+
+                if _is_target(p, lora_cfg):
+                    return False
         if p.startswith("vision"):
             return False
         is_projector = p.startswith("projector")
@@ -56,14 +70,17 @@ def trainable_mask(params, cfg: TrainConfig) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
-def _label_tree(params, cfg: TrainConfig):
+def _label_tree(params, cfg: TrainConfig, lora_cfg=None):
     """Labels: frozen | projector | default (used by multi_transform)."""
-    mask = trainable_mask(params, cfg)
+    mask = trainable_mask(params, cfg, lora_cfg)
 
     def decide(path, leaf, trainable):
         if not trainable:
             return "frozen"
-        if _path_str(path).startswith("projector") and cfg.mm_projector_lr:
+        p = _path_str(path)
+        if p.startswith("base/"):
+            p = p[len("base/"):]
+        if p.startswith("projector") and cfg.mm_projector_lr:
             return "projector"
         return "default"
 
@@ -92,8 +109,9 @@ def _adamw(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
         weight_decay=cfg.weight_decay, mask=decay_mask)
 
 
-def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
-    labels = _label_tree(params, cfg)
+def build_optimizer(params, cfg: TrainConfig,
+                    lora_cfg=None) -> optax.GradientTransformation:
+    labels = _label_tree(params, cfg, lora_cfg)
     transforms = {
         "default": _adamw(cfg, cfg.learning_rate),
         "projector": _adamw(cfg, cfg.mm_projector_lr or cfg.learning_rate),
@@ -116,13 +134,14 @@ class TrainState(NamedTuple):
     opt_state: Any
 
     @classmethod
-    def create(cls, params, cfg: TrainConfig) -> "TrainState":
-        opt = build_optimizer(params, cfg)
+    def create(cls, params, cfg: TrainConfig, lora_cfg=None) -> "TrainState":
+        opt = build_optimizer(params, cfg, lora_cfg)
         return cls(jnp.zeros((), jnp.int32), params, opt.init(params))
 
 
-def apply_updates(state: TrainState, grads, cfg: TrainConfig) -> TrainState:
-    opt = build_optimizer(state.params, cfg)
+def apply_updates(state: TrainState, grads, cfg: TrainConfig,
+                  lora_cfg=None) -> TrainState:
+    opt = build_optimizer(state.params, cfg, lora_cfg)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(state.step + 1, new_params, new_opt)

@@ -68,14 +68,62 @@ def batch_from_arrays(d: Dict[str, Any], prefix: str = "") -> MultimodalBatch:
     )
 
 
+def _effective_params(params, lora_cfg):
+    """Resolve a trainable tree to model params.
+
+    Plain tree -> itself.  LoRA-split tree {'base','lora'} -> on-the-fly
+    merge (models/lora.py); the merge is rank-r and costs O(r/T) of a full
+    matmul, so doing it every step keeps the graph functional with no module
+    surgery (reference applies PEFT wrappers instead, align_train.py:290-327).
+    """
+    if isinstance(params, dict) and "lora" in params and "base" in params:
+        from llavamod_tpu.models.lora import merge_lora
+
+        assert lora_cfg is not None, "LoRA params need a LoraConfig"
+        return merge_lora(params["base"], params["lora"], lora_cfg)
+    return params
+
+
+def _stop_frozen(params, tcfg: TrainConfig, lora_cfg=None):
+    """stop_gradient every frozen param so XLA dead-code-eliminates their
+    backward (the optimizer's set_to_zero masking alone still pays for the
+    full backward + grad buffers)."""
+    from llavamod_tpu.train.optim import trainable_mask
+
+    mask = trainable_mask(params, tcfg, lora_cfg)
+    return jax.tree_util.tree_map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p), params, mask)
+
+
 def _student_forward(params, cfg: LlavaConfig, batch: MultimodalBatch,
-                     tcfg: TrainConfig):
+                     tcfg: TrainConfig, lora_cfg=None, tower_feats=None):
     dtype = _DTYPES[tcfg.compute_dtype]
-    cparams = _cast_tree(params, dtype)
+    cparams = _cast_tree(_effective_params(params, lora_cfg), dtype)
     cbatch = batch._replace(pixels=batch.pixels.astype(dtype))
-    out = llava.forward(cparams, cfg, cbatch, train=True, remat=tcfg.remat)
+    out = llava.forward(cparams, cfg, cbatch, train=True, remat=tcfg.remat,
+                        attn_impl=tcfg.attn_impl, tower_feats=tower_feats)
     w_head = llava.lm_head_weight(cparams, cfg)
     return out, w_head
+
+
+def _can_share_tower(tcfg: TrainConfig, a: LlavaConfig, b: LlavaConfig) -> bool:
+    return (tcfg.share_vision_tower and a.vision == b.vision
+            and a.select_layer == b.select_layer
+            and a.select_feature == b.select_feature
+            and a.s2_scales == b.s2_scales
+            and a.freeze_vision and b.freeze_vision)
+
+
+def _shared_tower_feats(params, cfg: LlavaConfig, batch: MultimodalBatch,
+                        tcfg: TrainConfig):
+    """Frozen tower runs once; both models consume the features."""
+    dtype = _DTYPES[tcfg.compute_dtype]
+    src = params["base"] if (isinstance(params, dict)
+                             and "base" in params and "lora" in params) else params
+    vis = _cast_tree({"vision": src["vision"]}, dtype)
+    pixels = batch.pixels.astype(dtype).reshape(
+        (-1,) + batch.pixels.shape[2:])
+    return llava.encode_tower(vis, cfg, pixels)
 
 
 def _moe_metrics(out, cfg: LlavaConfig) -> Metrics:
@@ -89,11 +137,13 @@ def _moe_metrics(out, cfg: LlavaConfig) -> Metrics:
 # stage 1 / SFT
 # ---------------------------------------------------------------------------
 
-def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig) -> Callable:
-    opt = build_optimizer_cached(tcfg)
+def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
+                       lora_cfg=None) -> Callable:
+    opt = build_optimizer_cached(tcfg, lora_cfg)
 
     def loss_fn(params, batch: MultimodalBatch):
-        out, w_head = _student_forward(params, cfg, batch, tcfg)
+        params = _stop_frozen(params, tcfg, lora_cfg)
+        out, w_head = _student_forward(params, cfg, batch, tcfg, lora_cfg)
         ce = softmax_cross_entropy(out.hidden, w_head, batch.labels,
                                    chunk=tcfg.vocab_chunk)
         loss = ce.loss
@@ -118,12 +168,12 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig) -> Callable:
     return step
 
 
-def build_optimizer_cached(tcfg: TrainConfig):
+def build_optimizer_cached(tcfg: TrainConfig, lora_cfg=None):
     cache = {}
 
     def get(params):
         if "opt" not in cache:
-            cache["opt"] = build_optimizer(params, tcfg)
+            cache["opt"] = build_optimizer(params, tcfg, lora_cfg)
         return cache["opt"]
 
     return get
@@ -134,27 +184,34 @@ def build_optimizer_cached(tcfg: TrainConfig):
 # ---------------------------------------------------------------------------
 
 def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
-                    tcfg: TrainConfig) -> Callable:
+                    tcfg: TrainConfig, lora_cfg=None) -> Callable:
     """step(state, teacher_params, batch) -> (state, metrics).
 
     Loss = KD (+ student CE if kd_lm) + router aux * coef
     (align_trainer.py:570-580)."""
-    opt = build_optimizer_cached(tcfg)
+    opt = build_optimizer_cached(tcfg, lora_cfg)
     vocab_limit = tcfg.kd_vocab_limit or min(student_cfg.llm.vocab_size,
                                              teacher_cfg.llm.vocab_size)
 
-    def teacher_forward(teacher_params, batch):
+    share_tower = _can_share_tower(tcfg, student_cfg, teacher_cfg)
+
+    def teacher_forward(teacher_params, batch, tower_feats):
         dtype = _DTYPES[tcfg.compute_dtype]
         tp = _cast_tree(teacher_params, dtype)
         tb = batch._replace(pixels=batch.pixels.astype(dtype))
-        out = llava.forward(tp, teacher_cfg, tb, train=False)
+        out = llava.forward(tp, teacher_cfg, tb, train=False,
+                            attn_impl=tcfg.attn_impl, tower_feats=tower_feats)
         w = llava.lm_head_weight(tp, teacher_cfg)
         return jax.lax.stop_gradient(out.hidden), jax.lax.stop_gradient(w)
 
     def loss_fn(params, teacher_params, batch: MultimodalBatch):
+        params = _stop_frozen(params, tcfg, lora_cfg)
+        tower = (_shared_tower_feats(params, student_cfg, batch, tcfg)
+                 if share_tower else None)
         out, w_s = _student_forward(params, cfg=student_cfg, batch=batch,
-                                    tcfg=tcfg)
-        h_t, w_t = teacher_forward(teacher_params, batch)
+                                    tcfg=tcfg, lora_cfg=lora_cfg,
+                                    tower_feats=tower)
+        h_t, w_t = teacher_forward(teacher_params, batch, tower)
         kd = kd_align_loss(out.hidden, w_s, h_t, w_t, batch.labels,
                            vocab_limit=vocab_limit,
                            distill_all_tokens=tcfg.distill_all_tokens,
@@ -193,12 +250,13 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
 def _concat_pair_batch(d: Dict[str, Any]) -> MultimodalBatch:
     """Stack chosen+rejected into one [2B] batch sharing the images.
 
-    image_pos indexes flattened [B*M*N] rows; the rejected half reuses the
-    same pixel rows, and pixels are passed once and tiled on device."""
+    The pixel tensor stays [B, M, ...]: both halves carry the SAME
+    image_pos row indices into the flattened [B*M*N] feature rows, so each
+    image is encoded once per step (the reference instead runs the vision
+    tower on chosen and rejected separately inside its 4 forwards,
+    dpo_trainer.py:564-641)."""
     chosen = batch_from_arrays(d, "chosen_")
     rejected = batch_from_arrays(d, "rejected_")
-    pixels = jnp.concatenate([chosen.pixels, chosen.pixels], axis=0)
-    valid = jnp.concatenate([chosen.pixel_valid, chosen.pixel_valid], axis=0)
 
     def cat(a, b_):
         return jnp.concatenate([a, b_], axis=0)
@@ -207,42 +265,41 @@ def _concat_pair_batch(d: Dict[str, Any]) -> MultimodalBatch:
         input_ids=cat(chosen.input_ids, rejected.input_ids),
         segment_ids=cat(chosen.segment_ids, rejected.segment_ids),
         image_mask=cat(chosen.image_mask, rejected.image_mask),
-        image_pos=cat(chosen.image_pos, rejected.image_pos),  # fixed in step
-        pixels=pixels,
-        pixel_valid=valid,
+        image_pos=cat(chosen.image_pos, rejected.image_pos),
+        pixels=chosen.pixels,
+        pixel_valid=chosen.pixel_valid,
         labels=cat(chosen.labels, rejected.labels),
     )
 
 
 def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
-                  tcfg: TrainConfig) -> Callable:
+                  tcfg: TrainConfig, lora_cfg=None) -> Callable:
     """step(state, ref_params, batch_dict_arrays) -> (state, metrics)."""
-    opt = build_optimizer_cached(tcfg)
-    num_img_tokens = policy_cfg.num_image_tokens
+    opt = build_optimizer_cached(tcfg, lora_cfg)
+    share_tower = _can_share_tower(tcfg, policy_cfg, ref_cfg)
 
-    def paired_forward(params, cfg, batch2b, train):
+    def paired_forward(params, cfg, batch2b, train, tower_feats):
         dtype = _DTYPES[tcfg.compute_dtype]
-        cp = _cast_tree(params, dtype)
+        cp = _cast_tree(_effective_params(params, lora_cfg), dtype)
         cb = batch2b._replace(pixels=batch2b.pixels.astype(dtype))
-        out = llava.forward(cp, cfg, cb, train=train, remat=tcfg.remat and train)
+        out = llava.forward(cp, cfg, cb, train=train,
+                            remat=tcfg.remat and train,
+                            attn_impl=tcfg.attn_impl,
+                            tower_feats=tower_feats)
         w = llava.lm_head_weight(cp, cfg)
         logps = sequence_log_prob(out.hidden, w, batch2b.labels,
                                   chunk=tcfg.vocab_chunk)
         b2 = logps.shape[0]
         return logps[: b2 // 2], logps[b2 // 2:], out
 
-    def fix_image_pos(batch2b: MultimodalBatch, b: int, m: int) -> MultimodalBatch:
-        # second half of the batch gathers from the tiled second pixel copy
-        rows_per_half = b * m * num_img_tokens
-        pos = batch2b.image_pos
-        pos = pos.at[b:].add(rows_per_half)
-        return batch2b._replace(image_pos=pos)
-
-    def loss_fn(params, ref_params, batch2b, b, m):
-        batch2b = fix_image_pos(batch2b, b, m)
-        pc, pr, pol_out = paired_forward(params, policy_cfg, batch2b, True)
+    def loss_fn(params, ref_params, batch2b):
+        params = _stop_frozen(params, tcfg, lora_cfg)
+        tower = (_shared_tower_feats(params, policy_cfg, batch2b, tcfg)
+                 if share_tower else None)
+        pc, pr, pol_out = paired_forward(params, policy_cfg, batch2b, True,
+                                         tower)
         rc, rr, _ = paired_forward(
-            jax.lax.stop_gradient(ref_params), ref_cfg, batch2b, False)
+            jax.lax.stop_gradient(ref_params), ref_cfg, batch2b, False, tower)
         rc = jax.lax.stop_gradient(rc)
         rr = jax.lax.stop_gradient(rr)
         out = dpo_loss(pc, pr, rc, rr, beta=tcfg.dpo_beta,
@@ -267,10 +324,10 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
         metrics["loss"] = loss
         return loss, metrics
 
-    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
-    def _step(state: TrainState, ref_params, batch2b, b, m):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, ref_params, batch2b):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, ref_params, batch2b, b, m)
+            state.params, ref_params, batch2b)
         updates, new_opt = opt(state.params).update(grads, state.opt_state,
                                                     state.params)
         params = optax.apply_updates(state.params, updates)
@@ -278,8 +335,6 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
         return TrainState(state.step + 1, params, new_opt), metrics
 
     def step(state: TrainState, ref_params, batch_dict: Dict[str, Any]):
-        b, m = np.asarray(batch_dict["pixel_valid"]).shape
-        batch2b = _concat_pair_batch(batch_dict)
-        return _step(state, ref_params, batch2b, b, m)
+        return _step(state, ref_params, _concat_pair_batch(batch_dict))
 
     return step

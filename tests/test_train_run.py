@@ -1,0 +1,183 @@
+"""End-to-end tests of the train entry points (tiny models, 8-CPU mesh).
+
+Covers the full 3-stage recipe through llavamod_tpu.train.run.run_stage —
+the equivalent of driving the reference's train.py / align_train.py /
+dpo_train.py (SURVEY.md §2.13) — including native checkpoint save/load
+between stages, MoE upcycling inside the align stage, and stage-1
+mm_projector.bin export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from llavamod_tpu.models import llava as llava_mod
+from llavamod_tpu.models.builder import load_model, save_model
+from llavamod_tpu.models.llava import LlavaConfig
+from llavamod_tpu.models.llm.config import tiny_config
+from llavamod_tpu.models.vision.vit import tiny_vision_config
+from llavamod_tpu.train.args import AlignArgs, DataArgs, DPOArgs, ModelArgs, TrainArgs
+from llavamod_tpu.train.run import run_stage
+
+
+class StubTok:
+    bos_token_id = None
+    pad_token_id = 0
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [ord(c) % 500 for c in text]
+        return r
+
+
+def _tiny_model_dir(tmp_path):
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu", max_images=1)
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    d = str(tmp_path / "base_model")
+    save_model(d, cfg, params)
+    return d, cfg
+
+
+def _write_data(tmp_path, n=16, dpo=False):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    records = []
+    for i in range(n):
+        name = f"img{i}.png"
+        Image.new("RGB", (32, 32), (i * 10 % 255, 30, 40)).save(img_dir / name)
+        human = {"from": "human", "value": "<image>\nwhat is this?"}
+        if dpo:
+            rec = {
+                "id": i,
+                "image": name,
+                "chosen": [human, {"from": "gpt", "value": f"a red bus {i}"}],
+                "rejected": [human, {"from": "gpt", "value": "nothing"}],
+            }
+        else:
+            rec = {"id": i, "image": name, "conversations": [
+                human, {"from": "gpt", "value": f"a red bus {i}"}]}
+        if not dpo and i % 4 == 3:  # some text-only samples
+            rec = {"id": i, "conversations": [
+                {"from": "human", "value": "hi"},
+                {"from": "gpt", "value": "hello there"}]}
+        records.append(rec)
+    path = tmp_path / ("dpo.json" if dpo else "sft.json")
+    path.write_text(json.dumps(records))
+    return str(path), str(img_dir)
+
+
+def _targs(out, **kw):
+    base = dict(output_dir=out, per_device_train_batch_size=8,
+                max_steps=2, logging_steps=1, save_steps=100,
+                model_max_length=64, dataloader_num_workers=0,
+                compute_dtype="float32", remat=False, vocab_chunk=128,
+                learning_rate=1e-3, warmup_ratio=0.0)
+    base.update(kw)
+    return TrainArgs(**base)
+
+
+@pytest.fixture(scope="module")
+def stage_dirs(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("run3stage")
+    model_dir, _ = _tiny_model_dir(tmp_path)
+    data, imgs = _write_data(tmp_path)
+    return tmp_path, model_dir, data, imgs
+
+
+def test_stage1_pretrain(stage_dirs):
+    tmp_path, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out1")
+    metrics = run_stage(
+        "pretrain",
+        ModelArgs(model_name_or_path=model_dir, version="plain",
+                  tune_mm_mlp_adapter=True),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out), tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    assert os.path.exists(os.path.join(out, "mm_projector.bin"))
+    cfg2, params2 = load_model(out)
+    assert "projector" in params2
+
+
+def test_stage2_align_sparse(stage_dirs):
+    tmp_path, model_dir, data, imgs = stage_dirs
+    stage1 = str(tmp_path / "out1")
+    assert os.path.isdir(stage1), "stage1 test must run first"
+    out = str(tmp_path / "out2")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=stage1, version="qwen", moe_enable=True,
+                  moe_mode="sparse", num_experts=4, top_k_experts=2,
+                  train_modules=["mlp.gate_proj", "mlp.up_proj",
+                                 "mlp.down_proj", "wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, group_by_modality_length=True, model_max_length=256),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir,
+                         loss_type="kd_lm", moe_loss_enable=True),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    assert "loss/align" in metrics and "loss/moe_balance" in metrics
+    cfg2, _ = load_model(out)
+    assert cfg2.llm.is_moe and cfg2.llm.moe_layers == (0,)
+
+
+def test_stage3_dpo(stage_dirs):
+    tmp_path, model_dir, data, imgs = stage_dirs
+    stage2 = str(tmp_path / "out2")
+    assert os.path.isdir(stage2), "stage2 test must run first"
+    dpo_data, _ = _write_data(tmp_path, n=16, dpo=True)
+    out = str(tmp_path / "out3")
+    metrics = run_stage(
+        "dpo",
+        ModelArgs(model_name_or_path=stage2, version="qwen"),
+        DataArgs(data_path=[dpo_data], image_folder=imgs),
+        _targs(out, model_max_length=256),
+        sdpo=DPOArgs(loss_type="kto_pair",
+                     ref_model_name_or_path=model_dir),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    assert "rewards/accuracies" in metrics
+
+
+def test_align_with_lora(stage_dirs, tmp_path):
+    _, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_lora")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=model_dir, version="qwen",
+                  moe_enable=True, lora_enable=True, lora_r=4, lora_alpha=8,
+                  train_modules=["wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, max_steps=1, model_max_length=256),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    # PEFT-format adapter export exists and round-trips
+    adapter = os.path.join(out, "adapter")
+    assert os.path.exists(os.path.join(adapter, "adapter_model.bin"))
+    assert os.path.exists(os.path.join(adapter, "adapter_config.json"))
+
+
+def test_auto_resume(stage_dirs):
+    tmp_path, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_resume")
+    targs = _targs(out, max_steps=2, save_steps=1)
+    margs = ModelArgs(model_name_or_path=model_dir, version="plain",
+                      tune_mm_mlp_adapter=True)
+    dargs = DataArgs(data_path=[data], image_folder=imgs)
+    run_stage("pretrain", margs, dargs, targs, tokenizer=StubTok())
+    assert os.path.isdir(os.path.join(out, "checkpoint-1"))
+    # second run resumes from checkpoint-1 and continues to max_steps=3
+    targs2 = _targs(out, max_steps=3, save_steps=1)
+    run_stage("pretrain", margs, dargs, targs2, tokenizer=StubTok())
+    assert os.path.isdir(os.path.join(out, "checkpoint-2"))
