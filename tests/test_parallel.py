@@ -1,0 +1,193 @@
+"""Multi-device tests on the 8 virtual CPU devices (conftest.py).
+
+The sharded path must be numerically the single-device path: GSPMD inserts
+collectives, it must not change results.  Covers the SURVEY §4 plan rows the
+round-1 verdict flagged as untested: sharded train step == local train step,
+sharding-rule coverage over a full (MoE) param tree, and expert-parallel MoE
+forward == unsharded forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llavamod_tpu.models import llava as llava_mod
+from llavamod_tpu.models.llava import LlavaConfig
+from llavamod_tpu.models.llm import decoder
+from llavamod_tpu.models.llm.config import tiny_config
+from llavamod_tpu.models.llm.upcycle import upcycle
+from llavamod_tpu.models.vision.vit import tiny_vision_config
+from llavamod_tpu.ops.moe import GatingConfig, moe_ffn, top_k_gating
+from llavamod_tpu.parallel.mesh import MeshConfig, make_mesh
+from llavamod_tpu.parallel.sharding import (
+    fit_spec_to_shape,
+    param_specs,
+    shard_batch,
+    shard_params,
+)
+from llavamod_tpu.train.config import TrainConfig
+from llavamod_tpu.train.optim import TrainState
+from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
+
+
+def _tiny_llava(moe=True, seed=0):
+    llm = tiny_config(num_layers=2, hidden_size=64, intermediate_size=128,
+                      vocab_size=512)
+    cfg = LlavaConfig(llm=llm, vision=tiny_vision_config(hidden_size=32),
+                      projector_type="mlp2x_gelu", max_images=1)
+    params = llava_mod.init(cfg, jax.random.PRNGKey(seed))
+    if moe:
+        mcfg, mparams = upcycle(cfg.llm, params["llm"], moe_mode="sparse",
+                                num_experts=4, top_k=2)
+        cfg = cfg.replace(llm=mcfg)
+        params["llm"] = mparams
+    return cfg, params
+
+
+def _batch(cfg, b=4, t=32, seed=0):
+    rng = np.random.default_rng(seed)
+    n = cfg.num_image_tokens
+    ids = rng.integers(2, 500, size=(b, t)).astype(np.int32)
+    image_mask = np.zeros((b, t), bool)
+    image_mask[:, 1:1 + n] = True
+    image_pos = np.zeros((b, t), np.int32)
+    for i in range(b):
+        image_pos[i, 1:1 + n] = i * n + np.arange(n)
+    labels = np.where(image_mask, -100, ids).astype(np.int32)
+    s = cfg.vision.image_size
+    return {
+        "input_ids": ids,
+        "segment_ids": np.ones((b, t), np.int32),
+        "image_mask": image_mask,
+        "image_pos": image_pos,
+        "pixels": rng.normal(size=(b, 1, 3, s, s)).astype(np.float32),
+        "pixel_valid": np.ones((b, 1), bool),
+        "labels": labels,
+    }
+
+
+def _tcfg():
+    return TrainConfig(stage="align", align_loss_type="kd_lm",
+                       compute_dtype="float32", remat=False,
+                       vocab_chunk=256, total_steps=10, max_grad_norm=1.0,
+                       train_modules=("/gate", "/up", "/down", "router"))
+
+
+def _run_align_step(mesh, student, teacher, tcfg, batch_dict):
+    s_cfg, s_params = student
+    t_cfg, t_params = teacher
+    if mesh is not None:
+        ctx = jax.set_mesh(mesh)
+        ctx.__enter__()
+        s_params = shard_params(mesh, s_params)
+        t_params = shard_params(mesh, t_params)
+        batch_dict = shard_batch(mesh, batch_dict)
+    try:
+        state = TrainState.create(s_params, tcfg)
+        step = make_align_step(s_cfg, t_cfg, tcfg)
+        state, metrics = step(state, t_params, batch_from_arrays(batch_dict))
+        return state, {k: float(v) for k, v in metrics.items()}
+    finally:
+        if mesh is not None:
+            ctx.__exit__(None, None, None)
+
+
+@pytest.mark.parametrize("axes", [
+    dict(data=2, fsdp=1, expert=2, tensor=2),
+    dict(data=1, fsdp=8, expert=1, tensor=1),
+    dict(data=2, fsdp=2, expert=1, tensor=2),
+])
+def test_sharded_align_step_matches_single_device(axes):
+    # params rebuilt per run: the step donates its input state
+    tcfg = _tcfg()
+    batch = _batch(_tiny_llava(moe=True)[0])
+
+    _, m_local = _run_align_step(None, _tiny_llava(moe=True),
+                                 _tiny_llava(moe=False, seed=3), tcfg, batch)
+    mesh = make_mesh(MeshConfig(**axes))
+    _, m_mesh = _run_align_step(mesh, _tiny_llava(moe=True),
+                                _tiny_llava(moe=False, seed=3), tcfg, batch)
+
+    for k in ("loss", "loss/align", "loss/lm", "loss/moe_balance"):
+        assert m_local[k] == pytest.approx(m_mesh[k], rel=2e-4), (
+            k, m_local[k], m_mesh[k])
+
+
+def test_sharded_step_params_update_equally():
+    """One sharded step must produce the same new params as one local step."""
+    tcfg = _tcfg()
+    batch = _batch(_tiny_llava(moe=True)[0])
+
+    st_local, _ = _run_align_step(None, _tiny_llava(moe=True),
+                                  _tiny_llava(moe=False, seed=3), tcfg, batch)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, expert=2, tensor=1))
+    st_mesh, _ = _run_align_step(mesh, _tiny_llava(moe=True),
+                                 _tiny_llava(moe=False, seed=3), tcfg, batch)
+
+    flat_a = jax.tree_util.tree_leaves(st_local.params)
+    flat_b = jax.tree_util.tree_leaves(st_mesh.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_sharding_rules_cover_full_param_tree():
+    """Every param of a realistic MoE tree gets a valid, rank-matching spec;
+    expert tensors lead with the 'expert' axis."""
+    cfg, params = _tiny_llava(moe=True)
+    specs = param_specs(params)
+
+    def check(path, leaf, spec):
+        assert isinstance(spec, P)
+        assert len(spec) <= np.ndim(leaf), (path, spec, np.shape(leaf))
+
+    jax.tree_util.tree_map_with_path(check, params, specs)
+
+    # expert FFN weights: leading axis sharded on 'expert'
+    experts = params["llm"]["layers"][0]["mlp"]["experts"]
+    especs = param_specs({"llm": {"layers": [{"mlp": {"experts": experts}}]}})
+    for leaf_spec in jax.tree_util.tree_leaves(
+            especs, is_leaf=lambda x: isinstance(x, P)):
+        assert leaf_spec[0] == "expert", leaf_spec
+
+
+def test_fit_spec_replicates_indivisible_dims():
+    mesh = make_mesh(MeshConfig(data=1, fsdp=8, expert=1, tensor=1))
+    spec = fit_spec_to_shape(mesh, P("fsdp", None), (9, 4))
+    assert spec == P(None, None)
+    spec = fit_spec_to_shape(mesh, P("fsdp", None), (16, 4))
+    assert spec == P("fsdp", None)
+
+
+def test_expert_parallel_moe_matches_unsharded():
+    """The [S,E,C] dispatch/combine einsum path under an expert-sharded mesh
+    must equal the unsharded computation (GSPMD inserts the all-to-alls)."""
+    rng = np.random.default_rng(0)
+    s, d, e, f = 64, 16, 4, 32
+    x = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+    w_router = jnp.asarray(rng.normal(size=(d, e)) * 0.1, jnp.float32)
+    w_up = jnp.asarray(rng.normal(size=(e, d, f)) * 0.1, jnp.float32)
+    w_down = jnp.asarray(rng.normal(size=(e, f, d)) * 0.1, jnp.float32)
+
+    gcfg = GatingConfig(num_experts=e, top_k=2)
+
+    def expert_fn(xe):
+        return jnp.einsum("ecf,efd->ecd",
+                          jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w_up)),
+                          w_down)
+
+    def run(xv):
+        gate = top_k_gating(xv @ w_router, gcfg, train=True)
+        return moe_ffn(xv, gate.dispatch, gate.combine, expert_fn)
+
+    y_local = jax.jit(run)(x)
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, expert=4, tensor=1))
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P(("data",), None)))
+        y_mesh = jax.jit(run)(xs)
+    np.testing.assert_allclose(np.asarray(y_local), np.asarray(y_mesh),
+                               rtol=1e-5, atol=1e-6)
