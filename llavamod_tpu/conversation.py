@@ -146,6 +146,14 @@ class Conversation:
     # Alias matching the reference public API (conversation.py:31).
     get_prompt = render
 
+    def stop_str(self) -> str:
+        """Generation stop string: sep2 for TWO/GEMMA_2 styles, sep otherwise
+        (the dispatch every reference generator repeats, e.g.
+        model_vqa_mmbench.py:131-137)."""
+        if self.style in (SeparatorStyle.TWO, SeparatorStyle.GEMMA_2):
+            return self.sep2
+        return self.sep
+
     def copy(self) -> "Conversation":
         return Conversation(
             system=self.system,

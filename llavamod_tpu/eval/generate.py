@@ -108,9 +108,12 @@ class VQARunner:
                      gcfg: GenerationConfig) -> List[dict]:
         prompts, images, metas = [], [], []
         for q in questions:
-            has_image = "image" in q and q["image"]
+            pil = q.get("_pil_image")  # task adapters (base64 benchmarks)
+            has_image = pil is not None or ("image" in q and q["image"])
             img_arr = None
-            if has_image:
+            if pil is not None:
+                img_arr = self.image_preprocessor(pil)
+            elif has_image:
                 path = os.path.join(image_folder, q["image"])
                 try:
                     img = Image.open(path).convert("RGB")
@@ -130,23 +133,27 @@ class VQARunner:
                              pad_token_id=gcfg.pad_token_id)
         rows = []
         for q, prompt, text in zip(metas, prompts, texts):
-            rows.append({
+            row = {
                 "question_id": q.get("question_id", q.get("id")),
                 "prompt": q.get("text") or q.get("question"),
                 "text": text.strip(),
                 "answer_id": uuid.uuid4().hex[:22],
                 "model_id": self.model_id,
                 "metadata": {},
-            })
+            }
+            row.update(q.get("_extra", {}))  # e.g. MMBench round_id/options
+            rows.append(row)
         return rows
 
     def run(self, questions: List[dict], image_folder: str,
             answers_file: str, gcfg: Optional[GenerationConfig] = None,
             eos_strings: Sequence[str] = ()) -> List[dict]:
-        gcfg = gcfg or GenerationConfig(
-            max_new_tokens=128,
-            eos_token_ids=self._eos_ids(eos_strings),
-            pad_token_id=self.tokenizer.pad_token_id or 0)
+        if gcfg is None:
+            eos_ids, stop_seqs = self.stopping(eos_strings)
+            gcfg = GenerationConfig(
+                max_new_tokens=128,
+                eos_token_ids=eos_ids, stop_sequences=stop_seqs,
+                pad_token_id=self.tokenizer.pad_token_id or 0)
         os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
         all_rows = []
         with open(answers_file, "w") as f:
@@ -161,18 +168,27 @@ class VQARunner:
                 all_rows.extend(rows)
         return all_rows
 
-    def _eos_ids(self, eos_strings: Sequence[str]):
+    def stopping(self, eos_strings: Sequence[str] = ()):
+        """(eos_token_ids, stop_sequences): the template's stop string plus
+        any extras; multi-token strings become device-side stop sequences
+        (KeywordsStoppingCriteria parity, reference mm_utils.py:74-105)."""
         ids = []
-        if self.tokenizer.eos_token_id is not None:
+        seqs = []
+        if getattr(self.tokenizer, "eos_token_id", None) is not None:
             ids.append(self.tokenizer.eos_token_id)
         conv = conv_lib.get_template(self.template_name)
-        for s in list(eos_strings) + [conv.sep2]:
+        for s in list(eos_strings) + [conv.stop_str()]:
             if not s:
                 continue
-            toks = self.tokenizer(s).input_ids
+            toks = list(self.tokenizer(s).input_ids)
             if len(toks) == 1:
                 ids.append(toks[0])
-        return tuple(dict.fromkeys(ids))
+            elif toks:
+                seqs.append(tuple(toks))
+        return tuple(dict.fromkeys(ids)), tuple(dict.fromkeys(seqs))
+
+    def _eos_ids(self, eos_strings: Sequence[str]):
+        return self.stopping(eos_strings)[0]
 
 
 def load_questions(path: str) -> List[dict]:

@@ -34,6 +34,10 @@ class GenerationConfig:
     top_k: int = 0                    # 0 => disabled
     top_p: float = 1.0
     eos_token_ids: Tuple[int, ...] = ()
+    # multi-token stop strings as token-id sequences (KeywordsStoppingCriteria
+    # parity, reference mm_utils.py:74-105): a sequence whose sep2 tokenizes
+    # to >1 token (e.g. '</s>' under BPE) still stops early on device.
+    stop_sequences: Tuple[Tuple[int, ...], ...] = ()
     pad_token_id: int = 0
     cache_dtype: str = "bfloat16"
 
@@ -75,18 +79,36 @@ def _generate_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
 
     eos = jnp.asarray(gcfg.eos_token_ids, jnp.int32) if gcfg.eos_token_ids \
         else jnp.zeros((0,), jnp.int32)
+    # rolling window of the last W generated tokens for multi-token stops
+    win = max([len(s) for s in gcfg.stop_sequences], default=0)
+    stops = [jnp.asarray(s, jnp.int32) for s in gcfg.stop_sequences]
 
     def is_eos(tok):
         if eos.shape[0] == 0:
             return jnp.zeros_like(tok, dtype=bool)
         return jnp.any(tok[:, None] == eos[None, :], axis=-1)
 
+    def push_window(window, tok):
+        if win == 0:
+            return window
+        return jnp.concatenate([window[:, 1:], tok[:, None]], axis=1)
+
+    def window_stopped(window):
+        if win == 0:
+            return jnp.zeros((b,), bool)
+        hit = jnp.zeros((b,), bool)
+        for s in stops:
+            tail = window[:, win - s.shape[0]:]
+            hit = hit | jnp.all(tail == s[None, :], axis=1)
+        return hit
+
     rng0, rng_loop = jax.random.split(rng)
     first_tok = _sample(last_logits, gcfg, rng0)
-    done0 = is_eos(first_tok)
+    window0 = push_window(jnp.full((b, win), -1, jnp.int32), first_tok)
+    done0 = is_eos(first_tok) | window_stopped(window0)
 
     def body(carry, i):
-        cache, tok, done, key = carry
+        cache, tok, done, window, key = carry
         key, sub = jax.random.split(key)
         step_batch = MultimodalBatch(
             input_ids=tok[:, None],
@@ -105,11 +127,12 @@ def _generate_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
         logits = llava.logits(params, cfg, dout.hidden[:, -1:])[:, 0]
         nxt = _sample(logits, gcfg, sub)
         nxt = jnp.where(done, gcfg.pad_token_id, nxt)
-        new_done = done | is_eos(nxt)
-        return (dout.cache, nxt, new_done, key), tok
+        new_window = push_window(window, nxt)
+        new_done = done | is_eos(nxt) | window_stopped(new_window)
+        return (dout.cache, nxt, new_done, new_window, key), tok
 
-    (cache, last_tok, done, _), toks = jax.lax.scan(
-        body, (out.cache, first_tok, done0, rng_loop),
+    (cache, last_tok, done, _, _), toks = jax.lax.scan(
+        body, (out.cache, first_tok, done0, window0, rng_loop),
         jnp.arange(gcfg.max_new_tokens))
     # toks[i] is the token EMITTED at step i-1's carry => sequence of inputs;
     # append the final carry token.
@@ -122,17 +145,29 @@ def generate(params, cfg: LlavaConfig, batch: MultimodalBatch,
     """Returns generated ids [B, max_new_tokens] (pad after EOS)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     gen, _ = _generate_jit(params, cfg, batch, gcfg, rng)
-    gen = np.asarray(gen)
-    # zero-out everything after (and including nothing before) EOS
-    if gcfg.eos_token_ids:
-        out = np.full_like(gen, gcfg.pad_token_id)
-        for bi in range(gen.shape[0]):
-            row = gen[bi]
+    return truncate_at_stops(np.asarray(gen), gcfg)
+
+
+def truncate_at_stops(gen: np.ndarray, gcfg: GenerationConfig) -> np.ndarray:
+    """Pad everything from the first EOS token / stop sequence onward."""
+    if not (gcfg.eos_token_ids or gcfg.stop_sequences):
+        return gen
+    out = np.full_like(gen, gcfg.pad_token_id)
+    for bi in range(gen.shape[0]):
+        row = gen[bi]
+        end = row.shape[0]
+        if gcfg.eos_token_ids:
             stop = np.isin(row, gcfg.eos_token_ids).nonzero()[0]
-            end = stop[0] if stop.size else row.shape[0]
-            out[bi, :end] = row[:end]
-        gen = out
-    return gen
+            if stop.size:
+                end = int(stop[0])
+        for seq in gcfg.stop_sequences:
+            s = np.asarray(seq)
+            for pos in range(0, end - len(s) + 1):
+                if np.array_equal(row[pos:pos + len(s)], s):
+                    end = pos
+                    break
+        out[bi, :end] = row[:end]
+    return out
 
 
 def decode_texts(tokenizer, gen_ids: np.ndarray, pad_token_id: int = 0,

@@ -98,9 +98,10 @@ def dot_product_attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # flash kernel pays off for real training/prefill tiles
+        # flash kernel pays off for real training/prefill tiles; head_dim 64
+        # works too (Mosaic lane-pads the minor dim — verified on v5e)
         use_flash = (on_tpu and q.shape[1] >= 128 and bias is None
-                     and mask is None and q.shape[-1] % 128 == 0)
+                     and mask is None and q.shape[-1] % 64 == 0)
         impl = "flash" if use_flash else "xla"
 
     if impl == "flash":
