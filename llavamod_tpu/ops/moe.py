@@ -108,9 +108,14 @@ def top_k_gating(
         prior = prior + jnp.sum(m, axis=0)
 
     # Renormalize combine weights over the experts that survived the drop.
+    # k == 1 keeps the raw gate probability (DeepSpeed top1gating does not
+    # renormalize; top2gating does).
     kept_gate = [gate_vals[c] * jnp.sum(kept_masks[c], axis=-1) for c in range(k)]
-    denom = sum(kept_gate)
-    denom = jnp.maximum(denom, jnp.finfo(jnp.float32).eps)
+    if k == 1:
+        denom = jnp.ones_like(kept_gate[0])
+    else:
+        denom = sum(kept_gate)
+        denom = jnp.maximum(denom, jnp.finfo(jnp.float32).eps)
 
     combine = jnp.zeros((s, e, cap), jnp.float32)
     dispatch = jnp.zeros((s, e, cap), jnp.float32)

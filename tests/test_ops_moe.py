@@ -23,8 +23,10 @@ def test_top1_every_token_routed_when_capacity_ample():
     out = top_k_gating(logits, cfg, train=True)
     # every token dispatched exactly once
     np.testing.assert_allclose(out.dispatch.sum(axis=(1, 2)), np.ones(s))
-    # combine weight equals the top-1 softmax prob renormalized to itself = 1
-    np.testing.assert_allclose(out.combine.sum(axis=(1, 2)), np.ones(s), rtol=1e-6)
+    # combine weight is the RAW top-1 softmax prob (DeepSpeed top1gating
+    # does not renormalize; see tests/test_moe_golden.py)
+    top1 = np.max(np.asarray(jax.nn.softmax(logits, axis=-1)), axis=-1)
+    np.testing.assert_allclose(out.combine.sum(axis=(1, 2)), top1, rtol=1e-6)
 
 
 def test_top2_combine_weights_renormalized():
