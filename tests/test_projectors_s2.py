@@ -1,0 +1,139 @@
+"""Tests for S2 multi-scale features, QFormer/simple/pool projectors, and
+the PEFT LoRA adapter round-trip (VERDICT round-1 coverage rows 8/12/13/19)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llavamod_tpu.models.projector import build_projector
+from llavamod_tpu.models.vision import vit
+from llavamod_tpu.models.vision.s2 import multiscale_forward
+from llavamod_tpu.models.vision.vit import tiny_vision_config
+
+
+# ---------------------------------------------------------------------------
+# S2
+# ---------------------------------------------------------------------------
+
+def test_s2_multiscale_shapes_and_base_scale_parity():
+    cfg = tiny_vision_config(image_size=28, patch_size=14)  # grid 2x2
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+
+    feats = multiscale_forward(params, cfg, pixels, scales=(28, 56))
+    assert feats.shape == (2, cfg.num_patches, cfg.hidden_size * 2)
+
+    # channel block 0 must equal the plain single-scale features
+    hidden = vit.forward(params, cfg, pixels, -2)
+    base = vit.select_features(cfg, hidden, "patch")
+    np.testing.assert_allclose(np.asarray(feats[..., :cfg.hidden_size]),
+                               np.asarray(base), rtol=1e-5, atol=1e-5)
+
+
+def test_s2_three_scales_and_determinism():
+    cfg = tiny_vision_config(image_size=28, patch_size=14)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    pixels = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 28, 28))
+    f1 = multiscale_forward(params, cfg, pixels, scales=(28, 56, 84))
+    f2 = multiscale_forward(params, cfg, pixels, scales=(28, 56, 84))
+    assert f1.shape == (1, cfg.num_patches, cfg.hidden_size * 3)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.isfinite(np.asarray(f1)).all()
+
+
+def test_llava_config_s2_feature_dim():
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu", s2_scales=(28, 56))
+    assert cfg.vision_feature_dim == tiny_vision_config().hidden_size * 2
+
+
+# ---------------------------------------------------------------------------
+# projector zoo
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec,expected_tokens,n_tokens", [
+    ("linear", 16, 16),
+    ("mlp2x_gelu", 16, 16),
+    ("pool_mlp2x_gelu", 4, 16),    # 2x2 avg pool: 16 -> 4
+    ("identity", 16, 16),
+    ("qformer2_8", 8, 16),         # 8 learnable queries
+    ("cheap_qformer1_4", 4, 16),
+    # in/out are BLOCK depths; tokens: 64 -> pool 16 -> 3x3 valid conv -> 4
+    ("simple_in1_out1", 4, 64),
+    ("cheap_simple_in1_out1", 4, 64),
+])
+def test_projector_shapes(spec, expected_tokens, n_tokens):
+    vision_dim, llm_dim = 32, 64
+    proj = build_projector(spec, vision_dim, llm_dim)
+    params = proj.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, n_tokens, vision_dim))
+    y = proj.apply(params, x)
+    assert y.shape[0] == 3
+    assert y.shape[1] == proj.num_output_tokens(n_tokens) == expected_tokens
+    out_dim = vision_dim if spec == "identity" else llm_dim
+    assert y.shape[2] == out_dim
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_projector_grads_flow():
+    proj = build_projector("qformer2_8", 32, 48)
+    params = proj.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+
+    def loss(p):
+        return jnp.sum(proj.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+# ---------------------------------------------------------------------------
+# LoRA PEFT round-trip
+# ---------------------------------------------------------------------------
+
+def test_lora_peft_adapter_roundtrip(tmp_path):
+    from llavamod_tpu.models import llava as llava_mod
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm.config import tiny_config
+    from llavamod_tpu.models.llm.upcycle import upcycle
+    from llavamod_tpu.models.lora import (
+        LoraConfig,
+        init_lora,
+        load_lora_adapter,
+        merge_lora,
+        save_lora_adapter,
+    )
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu")
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    mcfg, mparams = upcycle(cfg.llm, params["llm"], moe_mode="sparse",
+                            num_experts=2, top_k=2)
+    params["llm"] = mparams
+
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    # make b nonzero so the round-trip is non-trivial (None = no adapter)
+    lora = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+
+    out = str(tmp_path / "adapter")
+    save_lora_adapter(out, lora, lcfg)
+    lora2, lcfg2 = load_lora_adapter(out, params)
+    assert lcfg2.r == 4 and lcfg2.alpha == 8
+
+    m1 = merge_lora(params, lora, lcfg)
+    m2 = merge_lora(params, lora2, lcfg2)
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # and the merge actually changed the targeted weights
+    before = params["llm"]["layers"][0]["mlp"]["experts"]["up"]
+    after = m1["llm"]["layers"][0]["mlp"]["experts"]["up"]
+    assert float(jnp.abs(after - before).max()) > 0
