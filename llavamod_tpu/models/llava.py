@@ -24,6 +24,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from llavamod_tpu.models.llm import decoder
 from llavamod_tpu.models.llm.config import DecoderConfig
@@ -168,6 +169,75 @@ def forward(params: Params, cfg: LlavaConfig, batch: MultimodalBatch,
         cache=cache, train=train, attn_impl=attn_impl, remat=remat)
     return LlavaOutput(out.hidden, out.aux_loss, out.moe_losses,
                        out.router_probs, out.cache)
+
+
+def initialize_vision_tokenizer(params: Params, cfg: LlavaConfig, tokenizer,
+                                *, mm_use_im_patch_token: bool = False,
+                                mm_use_im_start_end: bool = False,
+                                pretrain_mm_mlp_adapter: Optional[str] = None):
+    """Add image special tokens and resize the embedding rows.
+
+    Functional port of reference initialize_vision_tokenizer
+    (model/llava_arch.py:336-379): new tokens are registered on the
+    tokenizer, the embedding (and untied lm_head) gains rows initialized to
+    the mean of the existing rows, and a stage-1 mm_projector.bin may donate
+    the trained embed rows.  Returns (params, cfg) with the grown vocab.
+    """
+    from llavamod_tpu.constants import (
+        DEFAULT_IM_END_TOKEN,
+        DEFAULT_IM_START_TOKEN,
+        DEFAULT_IMAGE_PATCH_TOKEN,
+    )
+
+    new_tokens = []
+    if mm_use_im_patch_token:
+        new_tokens.append(DEFAULT_IMAGE_PATCH_TOKEN)
+    if mm_use_im_start_end:
+        new_tokens += [DEFAULT_IM_START_TOKEN, DEFAULT_IM_END_TOKEN]
+    if not new_tokens:
+        return params, cfg
+    num_new = tokenizer.add_tokens(new_tokens, special_tokens=True)
+    if num_new <= 0:
+        return params, cfg
+
+    def grow(w):
+        mean = jnp.mean(w, axis=0, keepdims=True)
+        return jnp.concatenate(
+            [w, jnp.broadcast_to(mean, (num_new, w.shape[1])).astype(w.dtype)],
+            axis=0)
+
+    params = dict(params)
+    llm = dict(params["llm"])
+    embed = dict(llm["embed"])
+    embed["embedding"] = grow(embed["embedding"])
+    llm["embed"] = embed
+    if "lm_head" in llm:
+        head = dict(llm["lm_head"])
+        head["weight"] = grow(head["weight"])
+        llm["lm_head"] = head
+    params["llm"] = llm
+    cfg = cfg.replace(llm=cfg.llm.replace(
+        vocab_size=cfg.llm.vocab_size + num_new))
+
+    if mm_use_im_start_end and pretrain_mm_mlp_adapter:
+        import torch
+
+        state = torch.load(pretrain_mm_mlp_adapter, map_location="cpu",
+                           weights_only=True)
+        if "model.embed_tokens.weight" in state:
+            w = jnp.asarray(np.asarray(state["model.embed_tokens.weight"].float()))
+            assert num_new == 2, num_new
+            e = params["llm"]["embed"]["embedding"]
+            if w.shape == e.shape:
+                e = e.at[-num_new:].set(w[-num_new:].astype(e.dtype))
+            elif w.shape[0] == num_new:
+                e = e.at[-num_new:].set(w.astype(e.dtype))
+            else:
+                raise ValueError(
+                    f"Unexpected embed_tokens_weight shape {w.shape} "
+                    f"vs {e.shape} with {num_new} new tokens")
+            params["llm"]["embed"]["embedding"] = e
+    return params, cfg
 
 
 def logits(params: Params, cfg: LlavaConfig, hidden: jnp.ndarray) -> jnp.ndarray:

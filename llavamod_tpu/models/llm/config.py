@@ -47,6 +47,8 @@ class DecoderConfig:
     sliding_window: Optional[int] = None
     sliding_window_pattern: int = 1          # gemma2: every 2nd layer global
     layernorm_eps: float = 1e-5
+    use_rope: bool = True                    # mpt: False (ALiBi only)
+    alibi: bool = False                      # mpt: True
 
     # --- MoE block (populated after sparse upcycling; None = dense) ---
     moe_num_experts: int = 0
@@ -161,6 +163,25 @@ STABLELM_2_1_6B = _reg(DecoderConfig(
     intermediate_size=5632, num_layers=24, num_heads=32, num_kv_heads=32,
     rope_theta=1e4, norm="layernorm", partial_rotary_factor=0.25,
     qkv_bias=False), "stablelm_2_1_6b", "stablelm")
+
+QWEN_7B_V1 = _reg(DecoderConfig(
+    # Qwen-1.0 7B (reference vendored modeling_qwen.py): fused gated MLP
+    # (w1/w2 halves of intermediate_size=22016 -> 11008 each), QKV bias,
+    # untied head.  Dynamic-NTK/logn inference scaling intentionally omitted
+    # (we never exceed max_position_embeddings on this recipe).
+    name="qwen-7b", vocab_size=151936, hidden_size=4096,
+    intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
+    rope_theta=1e4, rms_norm_eps=1e-6, qkv_bias=True,
+    max_position_embeddings=8192), "qwen_7b", "qwen-v1")
+
+MPT_7B = _reg(DecoderConfig(
+    # MPT-7B (reference llava_mpt.py + vendored mpt/): ALiBi attention, no
+    # positional embeddings, LayerNorm, non-gated GELU MLP, no biases.
+    name="mpt-7b", vocab_size=50432, hidden_size=4096,
+    intermediate_size=16384, num_layers=32, num_heads=32, num_kv_heads=32,
+    norm="layernorm", activation="gelu", gated_mlp=False,
+    use_rope=False, alibi=True, max_position_embeddings=2048,
+    tie_word_embeddings=True), "mpt_7b", "mpt")
 
 MINICPM_2B = _reg(DecoderConfig(
     name="minicpm-2b", vocab_size=122753, hidden_size=2304,

@@ -214,6 +214,33 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     return y.reshape(b, t, d), gate.aux_loss, gate.router_probs
 
 
+def _alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi head slopes (geometric 2^(-8i/H), press et al.)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        slopes = pow2_slopes(num_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(num_heads))
+        slopes = pow2_slopes(closest) + pow2_slopes(2 * closest)[0::2][
+            : num_heads - closest]
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def _alibi_bias(cfg: DecoderConfig, q_pos: jnp.ndarray,
+                kv_pos: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, S] additive bias: -slope * (q_pos - kv_pos) (MPT attention;
+    reference mpt/attention.py build_alibi_bias semantics)."""
+    slopes = _alibi_slopes(cfg.num_heads)  # [H]
+    dist = (q_pos[:, :, None] - kv_pos[:, None, :]).astype(jnp.float32)
+    dist = jnp.maximum(dist, 0.0)  # future positions are masked anyway
+    return -slopes[None, :, None, None] * dist[:, None]
+
+
 def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                       positions: jnp.ndarray,
                       segment_ids: Optional[jnp.ndarray],
@@ -233,9 +260,10 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     k = k.reshape(b, t, kh, dh)
     v = v.reshape(b, t, kh, dh)
 
-    cos, sin = rope_table(positions, dh, cfg.rope_theta, cfg.rotary_dim)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.use_rope:
+        cos, sin = rope_table(positions, dh, cfg.rope_theta, cfg.rotary_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     scale = (cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
              else dh ** -0.5)
@@ -269,8 +297,13 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         mask = mask & (cseg[:, None, None, :] != 0)
         if sliding is not None:
             mask = mask & (kv_pos > q_pos - sliding)
+        bias = None
+        if cfg.alibi:
+            bias = _alibi_bias(cfg, jnp.broadcast_to(
+                start + jnp.arange(t)[None, :], (b, t)),
+                jnp.broadcast_to(jnp.arange(s_max)[None, :], (b, s_max)))
         out = dot_product_attention(
-            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask,
+            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask, bias=bias,
             causal=False, scale=scale, softcap=softcap, impl="xla")
         new_kv = (ck, cv, cseg)
     else:
@@ -278,19 +311,24 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         segs = None
         if segment_ids is not None:
             segs = (segment_ids, segment_ids)
+        bias = _alibi_bias(cfg, positions, positions) if cfg.alibi else None
         if sliding is not None:
             q_pos = positions[:, None, :, None] if positions.ndim == 2 else (
                 jnp.arange(t)[None, None, :, None])
             kv_pos = q_pos.swapaxes(-1, -2)
             mask = kv_pos > q_pos - sliding
             # window masks force the XLA path for now
-            out = dot_product_attention(q, k, v, mask=mask, causal=True,
+            out = dot_product_attention(q, k, v, mask=mask, bias=bias,
+                                        causal=True,
                                         scale=scale, softcap=softcap,
                                         segment_ids=segs, impl="xla")
         else:
-            out = dot_product_attention(q, k, v, causal=True, scale=scale,
-                                        softcap=softcap, segment_ids=segs,
-                                        impl=attn_impl)
+            # ALiBi carries a dense bias -> XLA path (flash takes no bias)
+            out = dot_product_attention(q, k, v, bias=bias, causal=True,
+                                        scale=scale, softcap=softcap,
+                                        segment_ids=segs,
+                                        impl="xla" if bias is not None
+                                        else attn_impl)
 
     out = out.reshape(b, t, h * dh) @ p["wo"]
     if cfg.o_bias:
