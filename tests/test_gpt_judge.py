@@ -1,0 +1,84 @@
+"""Tests for the LLM-judge machinery (stubbed completion function)."""
+
+import pytest
+
+from llavamod_tpu.eval.gpt_judge import (
+    build_mmhal_prompt,
+    build_review_content,
+    compute_chair,
+    load_rules,
+    parse_mmhal_rating,
+    parse_object_list,
+    parse_score_pair,
+    review_answers,
+    summarize_mmhal,
+    summarize_reviews,
+)
+
+
+def test_rules_load_and_review_prompt():
+    rules = load_rules()
+    assert "default" in rules and "prompt" in rules["default"]
+    q = {"question_id": 1, "text": "What is shown?", "category": "detail"}
+    a1 = {"answer_id": "a", "text": "a cat"}
+    a2 = {"answer_id": "b", "text": "a dog"}
+    content = build_review_content(q, a1, a2, rules["detail"])
+    assert "[Question]\nWhat is shown?" in content
+    assert "a cat" in content and "a dog" in content
+    assert rules["detail"]["prompt"] in content
+
+
+def test_parse_score_pair():
+    assert parse_score_pair("8 9\ngood answers") == [8.0, 9.0]
+    assert parse_score_pair("7, 6.5\nfoo") == [7.0, 6.5]
+    assert parse_score_pair("no scores here") == [-1.0, -1.0]
+
+
+def test_review_and_summarize_pipeline():
+    qs = [{"question_id": i, "text": f"q{i}",
+           "category": "conv" if i % 2 else "detail"} for i in range(4)]
+    a1 = [{"answer_id": f"x{i}", "text": "ans1"} for i in range(4)]
+    a2 = [{"answer_id": f"y{i}", "text": "ans2"} for i in range(4)]
+    rows = review_answers(qs, a1, a2, complete_fn=lambda c: "8 6\nreasoning")
+    assert len(rows) == 4 and rows[0]["tuple"] == [8.0, 6.0]
+    summary = summarize_reviews(rows)
+    assert summary["all"]["relative"] == 75.0
+    assert summary["all"]["score1"] == 80.0
+    assert set(summary) == {"all", "conv", "detail"}
+
+
+def test_mmhal_prompt_and_rating():
+    record = {"image_content": ["Tree", "Dog"], "question": "What animal?",
+              "gt_answer": "a dog", "model_answer": "a dog under a tree"}
+    prompt = build_mmhal_prompt(record)
+    assert "Tree, Dog" in prompt and "a dog under a tree" in prompt
+    assert "Rating: 6" in prompt  # rubric enumerates the scale
+    assert parse_mmhal_rating("some analysis...\nRating: 5, very informative") == 5
+    assert parse_mmhal_rating("Rating: 2 ... rating: 4") == 0  # ambiguous
+
+
+def test_summarize_mmhal():
+    scores = [6, 5, 1, 0, 4, 3, 2, 6] * 2
+    out = summarize_mmhal(scores)
+    assert out["average_score"] == pytest.approx(3.38, abs=0.01)
+    # ratings < 3 are hallucinations: 1,0,2 per cycle -> 6/16
+    assert out["hallucination_rate"] == pytest.approx(0.38, abs=0.01)
+    assert len(out["scores_per_type"]) == 8
+
+
+def test_chair_metrics():
+    records = [
+        {"pred_objects": ["dog", "frisbee"], "gt_objects": ["dog", "person"]},
+        {"pred_objects": ["car"], "gt_objects": ["car", "road"]},
+        {"pred_objects": [], "gt_objects": ["cat"]},
+    ]
+    out = compute_chair(records)
+    assert out["CHAIRs"] == pytest.approx(1 / 3)   # only caption 0 hallucinates
+    assert out["CHAIRi"] == pytest.approx(1 / 3)   # 1 bad / 3 mentions
+    assert out["records"][0]["hallucinated"] == ["frisbee"]
+
+
+def test_parse_object_list():
+    assert parse_object_list('["Dog", "Tree"]') == ["dog", "tree"]
+    assert parse_object_list("objects: dog, tree , car") == ["dog", "tree", "car"]
+    assert parse_object_list("") == []
