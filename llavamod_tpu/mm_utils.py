@@ -80,7 +80,29 @@ class ImagePreprocessor:
     def __call__(self, images) -> np.ndarray:
         if isinstance(images, Image.Image):
             images = [images]
+        images = list(images)
+        native = self._native_batch(images)
+        if native is not None:
+            return native
         return np.stack([self.preprocess_one(im) for im in images], axis=0)
+
+    def _native_batch(self, images) -> Optional[np.ndarray]:
+        """C++ batch path (llavamod_tpu/native): pad+resize+normalize with
+        real threads; returns None (-> PIL fallback) without a toolchain."""
+        try:
+            from llavamod_tpu import native
+        except ImportError:
+            return None
+        arrays = []
+        for im in images:
+            if not isinstance(im, Image.Image):
+                return None
+            if im.mode != "RGB":
+                im = im.convert("RGB")
+            arrays.append(np.asarray(im, np.uint8))
+        return native.preprocess_batch(
+            arrays, self.size, pad_square=self.image_aspect_ratio == "pad",
+            background=self.background_color, mean=self.mean, std=self.std)
 
 
 def process_images(images, preprocessor: ImagePreprocessor) -> np.ndarray:
