@@ -71,6 +71,7 @@ def cmd_generate(args) -> None:
     template = args.conv_mode or conv_lib.infer_template_name(args.model_path)
     runner = VQARunner(params, cfg, tokenizer, pp, template_name=template,
                        batch_size=args.batch_size,
+                       dump_gating=args.dump_gating,
                        model_id=os.path.basename(args.model_path.rstrip("/")))
     eos_ids, stop_seqs = runner.stopping(())
     gcfg = GenerationConfig(
@@ -200,6 +201,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--single-pred-prompt", action="store_true", default=True)
     g.add_argument("--lang", default="en")
     g.add_argument("--test-prompt", default="")
+    g.add_argument("--dump-gating", default=None,
+                   help=".npz router-prob dump (reference "
+                        "--return-gating-logit)")
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="merge chunked answers jsonl")

@@ -59,6 +59,7 @@ class VQARunner:
     max_prompt_len: int = 1024
     model_id: str = "llavamod-tpu"
     extra_prompt: str = ""           # e.g. SQA's answer-format suffix
+    dump_gating: Optional[str] = None  # .npz path for router-prob dumps
 
     def build_prompt(self, question_text: str, has_image: bool) -> str:
         conv = conv_lib.get_template(self.template_name)
@@ -129,6 +130,8 @@ class VQARunner:
 
         batch = self._encode_batch(prompts, images)
         gen_ids = generate(self.params, self.cfg, batch, gcfg)
+        if self.dump_gating is not None and self.cfg.llm.is_moe:
+            self._collect_gating(batch, metas)
         texts = decode_texts(self.tokenizer, gen_ids,
                              pad_token_id=gcfg.pad_token_id)
         rows = []
@@ -166,7 +169,35 @@ class VQARunner:
                     f.write(json.dumps(row) + "\n")
                 f.flush()
                 all_rows.extend(rows)
+        self._save_gating()
         return all_rows
+
+    def _collect_gating(self, batch: MultimodalBatch, metas: List[dict]):
+        """Stash per-MoE-layer router probabilities for the prompt tokens.
+
+        First-class replacement for the reference's forward-hook dump
+        (utils.py:32-46 get_gating_logit_by_hook + model_vqa_loader.py:
+        131-141 `--return-gating-logit` -> torch.save): router probs are a
+        model output here, saved as .npz at the end of run()."""
+        from llavamod_tpu.models import llava as llava_mod
+
+        out = llava_mod.forward(self.params, self.cfg, batch, train=False)
+        if not hasattr(self, "_gating_rows"):
+            self._gating_rows = {}
+        probs = np.stack([np.asarray(p) for p in out.router_probs])  # [L,S,E]
+        b = batch.input_ids.shape[0]
+        per_seq = probs.reshape(probs.shape[0], b, -1, probs.shape[-1])
+        for i, q in enumerate(metas):
+            qid = q.get("question_id", q.get("id"))
+            self._gating_rows[str(qid)] = per_seq[:, i]
+
+    def _save_gating(self):
+        if self.dump_gating and getattr(self, "_gating_rows", None):
+            os.makedirs(os.path.dirname(os.path.abspath(self.dump_gating)),
+                        exist_ok=True)
+            np.savez_compressed(self.dump_gating, **self._gating_rows)
+            print(f"wrote router-prob dump {self.dump_gating} "
+                  f"({len(self._gating_rows)} questions)")
 
     def stopping(self, eos_strings: Sequence[str] = ()):
         """(eos_token_ids, stop_sequences): the template's stop string plus
@@ -216,6 +247,9 @@ def main():
     ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--extra-prompt", default="")
+    ap.add_argument("--dump-gating", default=None,
+                    help=".npz path for MoE router-prob dumps "
+                         "(reference --return-gating-logit)")
     args = ap.parse_args()
 
     tokenizer, params, cfg, pp, _ = load_pretrained_model(
@@ -226,6 +260,7 @@ def main():
     runner = VQARunner(params, cfg, tokenizer, pp, template_name=template,
                        batch_size=args.batch_size,
                        extra_prompt=args.extra_prompt,
+                       dump_gating=args.dump_gating,
                        model_id=os.path.basename(args.model_path.rstrip("/")))
     gcfg = GenerationConfig(max_new_tokens=args.max_new_tokens,
                             temperature=args.temperature, top_p=args.top_p,

@@ -256,3 +256,67 @@ def test_truncate_at_stops_semantics():
     np.testing.assert_array_equal(out[0], [5, 6, 7, 0, 0, 0])
     # row 1: EOS id 2 at pos 2 wins over the later stop pair
     np.testing.assert_array_equal(out[1], [5, 6, 0, 0, 0, 0])
+
+
+# ---------------------------------------------------------------------------
+# VQARunner end-to-end (tiny MoE model) + router-prob dump
+# ---------------------------------------------------------------------------
+
+def test_vqa_runner_end_to_end_with_gating_dump(tmp_path):
+    import jax
+
+    from llavamod_tpu.eval.generate import VQARunner
+    from llavamod_tpu.mm_utils import ImagePreprocessor
+    from llavamod_tpu.models import llava as llava_mod
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm.config import tiny_config
+    from llavamod_tpu.models.llm.upcycle import upcycle
+    from llavamod_tpu.models.vision.vit import tiny_vision_config
+
+    class Tok:
+        bos_token_id = None
+        pad_token_id = 0
+        eos_token_id = None
+
+        def __call__(self, text):
+            class R:
+                pass
+
+            r = R()
+            r.input_ids = [ord(c) % 500 for c in text]
+            return r
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr((int(i) % 80) + 40) for i in ids)
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu", max_images=1)
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    mcfg, mparams = upcycle(cfg.llm, params["llm"], moe_mode="sparse",
+                            num_experts=2, top_k=2)
+    cfg = cfg.replace(llm=mcfg)
+    params["llm"] = mparams
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (32, 32), (10 * i, 5, 5)).save(img_dir / f"q{i}.png")
+    questions = [{"question_id": i, "text": "what?", "image": f"q{i}.png"}
+                 for i in range(3)]
+
+    gating_path = str(tmp_path / "gating.npz")
+    runner = VQARunner(params, cfg, Tok(),
+                       ImagePreprocessor(size=cfg.vision.image_size),
+                       template_name="qwen", batch_size=2,
+                       max_prompt_len=256, dump_gating=gating_path)
+    from llavamod_tpu.generation import GenerationConfig
+
+    rows = runner.run(questions, str(img_dir), str(tmp_path / "ans.jsonl"),
+                      GenerationConfig(max_new_tokens=4, pad_token_id=0))
+    assert len(rows) == 3
+    assert all(isinstance(r["text"], str) for r in rows)
+    data = np.load(gating_path)
+    assert set(data.files) >= {"0", "1", "2"}
+    l, s, e = data["0"].shape  # [moe_layers, seq, experts]
+    assert e == 2 and l == len(cfg.llm.moe_layers)
+    np.testing.assert_allclose(data["0"].sum(-1), 1.0, rtol=1e-4)
