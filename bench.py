@@ -51,6 +51,10 @@ def main():
     teacher_size = os.environ.get("BENCH_TEACHER", "1.8b")  # 1.8b|0.5b
     scan = os.environ.get("BENCH_SCAN", "1") == "1"
     chunk = int(os.environ.get("BENCH_CHUNK", "8192"))
+    # per-sequence gating groups by default: linear-cost dispatch einsums
+    # and DeepSpeed per-rank-batch parity (the reference gates per GPU with
+    # per-GPU batch 1, dense2sparse_distillation.sh)
+    moe_group = int(os.environ.get("BENCH_MOE_GROUP", str(t)))
     dtype = jnp.bfloat16
 
     log(f"devices: {jax.devices()}")
@@ -82,6 +86,8 @@ def main():
             student_llava.llm, student_params["llm"], moe_mode="sparse",
             num_experts=4, top_k=2, capacity_factor=1.5,
             eval_capacity_factor=2.0)
+        if moe_group:
+            moe_llm_cfg = moe_llm_cfg.replace(moe_gating_group_size=moe_group)
         student_llava = student_llava.replace(llm=moe_llm_cfg)
         student_params["llm"] = moe_llm_params
 

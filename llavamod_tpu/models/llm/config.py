@@ -59,6 +59,11 @@ class DecoderConfig:
     moe_layers: Tuple[int, ...] = ()
     moe_use_residual: bool = False
     router_aux_loss_coef: float = 0.01
+    # Tokens per independent gating group (0 = all tokens in one group).
+    # The [S, E, C] dispatch einsums cost O(S * C) with C proportional to S,
+    # i.e. quadratic in tokens; fixed-size groups make it linear — and match
+    # DeepSpeed's semantics, where each DP rank gates only its local batch.
+    moe_gating_group_size: int = 0
 
     # --- compile strategy ---
     # lax.scan over (period-stacked) layers: one traced layer block instead of

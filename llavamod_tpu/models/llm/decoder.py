@@ -192,6 +192,30 @@ def _expert_mlp(cfg: DecoderConfig, experts: Params, xe: jnp.ndarray) -> jnp.nda
     return jnp.einsum("ecf,efd->ecd", h, experts["down"])
 
 
+def _grouped_moe(cfg: DecoderConfig, gcfg, xs, router_logits, tv, train,
+                 expert_fn, group: int):
+    """Gate fixed-size token groups independently (linear dispatch cost;
+    matches DeepSpeed's per-rank gating).  Returns (y, aux, probs)."""
+    s, d = xs.shape
+    e = cfg.moe_num_experts
+    g = s // group
+    xg = xs.reshape(g, group, d)
+    lg = router_logits.reshape(g, group, e)
+    tvg = (tv.reshape(g, group) if tv is not None
+           else jnp.ones((g, group), bool))
+    gate = jax.vmap(
+        lambda lgi, tvi: top_k_gating(lgi, gcfg, train=train, token_valid=tvi)
+    )(lg, tvg)
+    c = gate.dispatch.shape[-1]
+    xe = jnp.einsum("gsec,gsd->gecd", gate.dispatch.astype(xs.dtype), xg)
+    xe = xe.transpose(1, 0, 2, 3).reshape(e, g * c, d)
+    ye = expert_fn(xe)
+    ye = ye.reshape(e, g, c, d).transpose(1, 0, 2, 3)
+    y = jnp.einsum("gsec,gecd->gsd", gate.combine.astype(ye.dtype), ye)
+    return (y.reshape(s, d), jnp.mean(gate.aux_loss),
+            gate.router_probs.reshape(s, e))
+
+
 def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                       train: bool, token_valid: Optional[jnp.ndarray]):
     """Sparse FFN: x [B, T, D] -> (y, aux_loss, router_probs)."""
@@ -204,6 +228,16 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         min_capacity=cfg.moe_min_capacity)
     router_logits = xs.astype(jnp.float32) @ p["router"].astype(jnp.float32)
     tv = token_valid.reshape(b * t) if token_valid is not None else None
+    expert_fn = functools.partial(_expert_mlp, cfg, p["experts"])
+    group = cfg.moe_gating_group_size
+    if group and b * t > group and (b * t) % group == 0:
+        y, aux, probs = _grouped_moe(cfg, gcfg, xs, router_logits, tv, train,
+                                     expert_fn, group)
+        if cfg.moe_use_residual:
+            res = mlp_forward(cfg, p["residual_mlp"], xs)
+            coef = jax.nn.softmax((xs @ p["coef"]).astype(jnp.float32), axis=-1)
+            y = y * coef[:, :1].astype(y.dtype) + res * coef[:, 1:].astype(res.dtype)
+        return y.reshape(b, t, d), aux, probs
     gate = top_k_gating(router_logits, gcfg, train=train, token_valid=tv)
     y = moe_ffn(xs, gate.dispatch, gate.combine,
                 functools.partial(_expert_mlp, cfg, p["experts"]))

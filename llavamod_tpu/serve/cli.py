@@ -55,9 +55,10 @@ def main():
     pixels = pp(image)
     runner = VQARunner(params, cfg, tokenizer, pp, template_name=template,
                        batch_size=1)
+    eos_ids, stop_seqs = runner.stopping(())
     gcfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, temperature=args.temperature,
-        eos_token_ids=runner._eos_ids(()),
+        eos_token_ids=eos_ids, stop_sequences=stop_seqs,
         pad_token_id=tokenizer.pad_token_id or 0)
 
     first_turn = True

@@ -121,3 +121,47 @@ def test_gating_grad_flows_to_router():
     g = jax.grad(f)(logits)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_grouped_gating_matches_global_when_capacity_ample():
+    """moe_gating_group_size splits tokens into independent gating groups
+    (DeepSpeed per-rank semantics); with no capacity drops the outputs are
+    identical to global gating."""
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import tiny_config
+    from llavamod_tpu.models.llm.upcycle import upcycle
+
+    base = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64)
+    cfg0, params = upcycle(base, decoder.init(base, jax.random.PRNGKey(0)),
+                           moe_mode="dense", num_experts=4, top_k=2,
+                           capacity_factor=8.0, eval_capacity_factor=8.0)
+    cfg_grouped = cfg0.replace(moe_gating_group_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32))
+    layer = params["layers"][0]
+    y0, a0, p0 = decoder.moe_block_forward(cfg0, layer["mlp"], x, True, None)
+    y1, a1, p1 = decoder.moe_block_forward(cfg_grouped, layer["mlp"], x,
+                                           True, None)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p0),
+                               np.asarray(p1).reshape(np.asarray(p0).shape),
+                               rtol=1e-6, atol=1e-7)
+    assert np.isfinite(float(a1))
+
+
+def test_grouped_gating_capacity_is_per_group():
+    """With a tight capacity, drops happen within each group independently:
+    a hot expert in one group cannot starve tokens of another group."""
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import tiny_config
+    from llavamod_tpu.models.llm.upcycle import upcycle
+
+    base = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64)
+    cfg0, params = upcycle(base, decoder.init(base, jax.random.PRNGKey(0)),
+                           moe_mode="dense", num_experts=2, top_k=1,
+                           capacity_factor=1.0, min_capacity=1)
+    cfg_g = cfg0.replace(moe_gating_group_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 32))
+    y, aux, probs = decoder.moe_block_forward(cfg_g, params["layers"][0]["mlp"],
+                                              x, True, None)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
