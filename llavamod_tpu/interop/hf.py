@@ -34,9 +34,29 @@ def _t(x) -> np.ndarray:
 
 
 def decoder_config_from_hf(hf_config) -> DecoderConfig:
-    """Map an HF Qwen2/Llama/Mistral-style config to DecoderConfig."""
+    """Map an HF Qwen2/Llama/Mistral-style config to DecoderConfig,
+    including the reference's embedded `moe` block
+    (llava_qwen1_5_moe.py:48-81)."""
     mt = getattr(hf_config, "model_type", "llama")
     qkv_bias = mt in ("qwen2",) or getattr(hf_config, "attention_bias", False)
+    kw = {}
+    moe = getattr(hf_config, "moe", None)
+    if isinstance(moe, dict) and moe.get("moe_enable"):
+        num_experts = moe.get("num_experts", 4)
+        if isinstance(num_experts, (list, tuple)):
+            num_experts = num_experts[0]
+        kw = dict(
+            moe_num_experts=int(num_experts),
+            moe_top_k=int(moe.get("top_k_experts", 2)),
+            moe_capacity_factor=float(moe.get("capacity_factor", 1.5)),
+            moe_eval_capacity_factor=float(
+                moe.get("eval_capacity_factor", 2.0)),
+            moe_min_capacity=int(moe.get("min_capacity", 4)),
+            moe_layers=tuple(moe.get("moe_layers_idx") or ()),
+            moe_use_residual=bool(moe.get("use_residual", False)),
+            router_aux_loss_coef=float(
+                moe.get("router_aux_loss_coef", 0.01)),
+        )
     return DecoderConfig(
         name=f"hf-{mt}",
         vocab_size=hf_config.vocab_size,
@@ -51,6 +71,7 @@ def decoder_config_from_hf(hf_config) -> DecoderConfig:
         rms_norm_eps=getattr(hf_config, "rms_norm_eps", 1e-6),
         qkv_bias=qkv_bias,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        **kw,
     )
 
 
@@ -77,16 +98,40 @@ def decoder_params_from_hf(state: Mapping[str, Any], cfg: DecoderConfig,
             attn["bq"] = _np(g(p + "self_attn.q_proj.bias"))
             attn["bk"] = _np(g(p + "self_attn.k_proj.bias"))
             attn["bv"] = _np(g(p + "self_attn.v_proj.bias"))
+        if (prefix + p + "mlp.deepspeed_moe.gate.wg.weight") in state:
+            # reference MoE checkpoint (deepspeed.moe layer naming,
+            # llava_qwen1_5_moe.py:534-546 / train.py:549-557 save flavor)
+            e = 0
+            while (prefix + p + "mlp.deepspeed_moe.experts.deepspeed_experts"
+                   f".{e}.up_proj.weight") in state:
+                e += 1
+            def ew(name):
+                return np.stack([
+                    _t(g(p + "mlp.deepspeed_moe.experts.deepspeed_experts"
+                         f".{j}.{name}.weight")) for j in range(e)])
+            mlp = {
+                "router": _t(g(p + "mlp.deepspeed_moe.gate.wg.weight")),
+                "experts": {"gate": ew("gate_proj"), "up": ew("up_proj"),
+                            "down": ew("down_proj")},
+            }
+            if (prefix + p + "mlp.mlp.up_proj.weight") in state:  # residual
+                mlp["residual_mlp"] = {
+                    "gate": _t(g(p + "mlp.mlp.gate_proj.weight")),
+                    "up": _t(g(p + "mlp.mlp.up_proj.weight")),
+                    "down": _t(g(p + "mlp.mlp.down_proj.weight"))}
+                mlp["coef"] = _t(g(p + "mlp.coefficient.weight"))
+        else:
+            mlp = {
+                "gate": _t(g(p + "mlp.gate_proj.weight")),
+                "up": _t(g(p + "mlp.up_proj.weight")),
+                "down": _t(g(p + "mlp.down_proj.weight")),
+            }
         layer = {
             "input_norm": {"weight": _np(g(p + "input_layernorm.weight"))},
             "attn": attn,
             "post_attn_input_norm": {
                 "weight": _np(g(p + "post_attention_layernorm.weight"))},
-            "mlp": {
-                "gate": _t(g(p + "mlp.gate_proj.weight")),
-                "up": _t(g(p + "mlp.up_proj.weight")),
-                "down": _t(g(p + "mlp.down_proj.weight")),
-            },
+            "mlp": mlp,
         }
         params["layers"].append(layer)
     if not cfg.tie_word_embeddings and (prefix + "lm_head.weight") in state:
@@ -95,7 +140,9 @@ def decoder_params_from_hf(state: Mapping[str, Any], cfg: DecoderConfig,
 
 
 def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.ndarray]:
-    """Inverse of decoder_params_from_hf (dense layers only)."""
+    """Inverse of decoder_params_from_hf; MoE layers use the reference's
+    DeepSpeed-MoE key naming so exported checkpoints load in the reference
+    (EvalLLaVAMoD* reconstruction, llava_qwen1_5_moe.py:629-681)."""
     out: Dict[str, np.ndarray] = {
         "model.embed_tokens.weight": _np(params["embed"]["embedding"]),
         "model.norm.weight": _np(params["final_norm"]["weight"]),
@@ -115,13 +162,114 @@ def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.nda
             out[p + "self_attn.k_proj.bias"] = _np(a["bk"])
             out[p + "self_attn.v_proj.bias"] = _np(a["bv"])
         m = layer["mlp"]
-        if "gate" in m:
-            out[p + "mlp.gate_proj.weight"] = _t(m["gate"])
-        out[p + "mlp.up_proj.weight"] = _t(m["up"])
-        out[p + "mlp.down_proj.weight"] = _t(m["down"])
+        if "experts" in m:
+            out[p + "mlp.deepspeed_moe.gate.wg.weight"] = _t(m["router"])
+            e = np.asarray(m["experts"]["up"]).shape[0]
+            names = {"gate_proj": "gate", "up_proj": "up", "down_proj": "down"}
+            for j in range(e):
+                for hf_name, ours in names.items():
+                    if ours in m["experts"]:
+                        out[p + "mlp.deepspeed_moe.experts.deepspeed_experts"
+                            f".{j}.{hf_name}.weight"] = _t(
+                                np.asarray(m["experts"][ours])[j])
+            if "residual_mlp" in m:
+                for hf_name, ours in names.items():
+                    out[p + f"mlp.mlp.{hf_name}.weight"] = _t(
+                        m["residual_mlp"][ours])
+                out[p + "mlp.coefficient.weight"] = _t(m["coef"])
+        else:
+            if "gate" in m:
+                out[p + "mlp.gate_proj.weight"] = _t(m["gate"])
+            out[p + "mlp.up_proj.weight"] = _t(m["up"])
+            out[p + "mlp.down_proj.weight"] = _t(m["down"])
     if "lm_head" in params:
         out["lm_head.weight"] = _np(params["lm_head"]["weight"])
     return out
+
+
+def projector_params_to_hf(params: Params,
+                           projector_type: str = "mlp2x_gelu",
+                           prefix: str = "model.mm_projector."
+                           ) -> Dict[str, np.ndarray]:
+    """Inverse of projector_params_from_hf (reference key layout)."""
+    import re
+
+    out: Dict[str, np.ndarray] = {}
+    if projector_type == "linear":
+        out[prefix + "image_spatial_proj.weight"] = _t(params["kernel"])
+        out[prefix + "image_spatial_proj.bias"] = _np(params["bias"])
+        return out
+    m = re.match(r"^mlp(\d+)x_gelu$", projector_type)
+    if m:
+        for j, layer in enumerate(params["layers"]):
+            idx = j * 2  # nn.Sequential: Linear, GELU, Linear, ...
+            out[prefix + f"image_spatial_proj.{idx}.weight"] = _t(layer["kernel"])
+            out[prefix + f"image_spatial_proj.{idx}.bias"] = _np(layer["bias"])
+        return out
+    raise NotImplementedError(
+        f"HF export for projector '{projector_type}' not implemented")
+
+
+def export_hf_llava(output_dir: str, cfg, params: Params) -> str:
+    """Write a reference-consumable HF checkpoint: config.json (qwen2-style
+    llava fields + the moe block the reference embeds in its config,
+    llava_qwen1_5_moe.py:48-81) and pytorch_model.bin (decoder +
+    mm_projector keys; the frozen tower is referenced by name, exactly like
+    the reference's saved checkpoints)."""
+    import json
+    import os
+
+    import torch
+
+    llm = cfg.llm
+    hf_cfg = {
+        "architectures": ["LLaVAMoDQwen1_5ForCausalLM" if llm.is_moe
+                          else "LlavaQWen1_5ForCausalLM"],
+        "model_type": "qwen2",
+        "vocab_size": llm.vocab_size,
+        "hidden_size": llm.hidden_size,
+        "intermediate_size": llm.intermediate_size,
+        "num_hidden_layers": llm.num_layers,
+        "num_attention_heads": llm.num_heads,
+        "num_key_value_heads": llm.num_kv_heads,
+        "max_position_embeddings": llm.max_position_embeddings,
+        "rope_theta": llm.rope_theta,
+        "rms_norm_eps": llm.rms_norm_eps,
+        "tie_word_embeddings": llm.tie_word_embeddings,
+        "torch_dtype": "bfloat16",
+        "mm_image_tower": cfg.vision.name,
+        "mm_projector_type": cfg.projector_type,
+        "mm_vision_select_layer": cfg.select_layer,
+        "mm_vision_select_feature": cfg.select_feature,
+        "image_aspect_ratio": cfg.image_aspect_ratio,
+    }
+    if llm.is_moe:
+        hf_cfg["moe"] = {
+            "moe_enable": True,
+            "moe_mode": "custom",
+            "moe_layers_idx": list(llm.moe_layers),
+            "num_experts": [llm.moe_num_experts] * len(llm.moe_layers),
+            "top_k_experts": llm.moe_top_k,
+            "capacity_factor": llm.moe_capacity_factor,
+            "eval_capacity_factor": llm.moe_eval_capacity_factor,
+            "min_capacity": llm.moe_min_capacity,
+            "use_residual": llm.moe_use_residual,
+            "router_aux_loss_coef": llm.router_aux_loss_coef,
+            "ep_size": 1,
+            "train_modules": [],
+        }
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as fh:
+        json.dump(hf_cfg, fh, indent=2)
+
+    state = decoder_params_to_hf(params["llm"], llm)
+    if "projector" in params:
+        state.update(projector_params_to_hf(params["projector"],
+                                            cfg.projector_type))
+    torch_state = {k: torch.tensor(np.ascontiguousarray(v))
+                   for k, v in state.items()}
+    torch.save(torch_state, os.path.join(output_dir, "pytorch_model.bin"))
+    return output_dir
 
 
 def vision_params_from_hf(state: Mapping[str, Any], cfg: VisionConfig,
