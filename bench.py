@@ -55,6 +55,7 @@ def main():
     # and DeepSpeed per-rank-batch parity (the reference gates per GPU with
     # per-GPU batch 1, dense2sparse_distillation.sh)
     moe_group = int(os.environ.get("BENCH_MOE_GROUP", str(t)))
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
     dtype = jnp.bfloat16
 
     log(f"devices: {jax.devices()}")
@@ -63,7 +64,8 @@ def main():
     key = jax.random.PRNGKey(0)
     vis_cfg = CLIP_VIT_L_336
 
-    student_llm = QWEN1_5_0_5B.replace(scan_layers=scan)
+    student_llm = QWEN1_5_0_5B.replace(scan_layers=scan,
+                                       remat_policy=remat_policy)
     teacher_llm = (QWEN1_5_1_8B if teacher_size == "1.8b"
                    else QWEN1_5_0_5B).replace(scan_layers=scan)
     student_llava = LlavaConfig(llm=student_llm, vision=vis_cfg,

@@ -69,6 +69,10 @@ class DecoderConfig:
     # lax.scan over (period-stacked) layers: one traced layer block instead of
     # num_layers inlined copies => ~L/period x faster XLA compiles.
     scan_layers: bool = True
+    # remat policy inside the scanned block: 'none' recomputes everything
+    # (min memory); 'dots' saves matmul outputs (jax dots_with_no_batch_dims
+    # policy) trading HBM for less backward recompute.
+    remat_policy: str = "none"
 
     def __post_init__(self):
         if self.head_dim is None:

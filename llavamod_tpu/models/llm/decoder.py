@@ -460,7 +460,10 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
         return x, (aux_sum, probs_out)
 
     if remat:
-        block = jax.checkpoint(block)
+        policy = None
+        if cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        block = jax.checkpoint(block, policy=policy)
 
     x, (aux_per_rep, probs_per_rep) = jax.lax.scan(
         block, x, tuple(stacked))
