@@ -65,7 +65,8 @@ def _generate_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
                   gcfg: GenerationConfig, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, t = batch.input_ids.shape
     total = t + gcfg.max_new_tokens
-    cache_dtype = jnp.bfloat16 if gcfg.cache_dtype == "bfloat16" else jnp.float32
+    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                   "int8": "int8"}[gcfg.cache_dtype]
 
     # segment-aware positions: 0 at each sequence's first real token
     seg = batch.segment_ids

@@ -129,18 +129,48 @@ def init(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray        # [L, B, S_max, KH, Dh]
+    k: jnp.ndarray        # [L, B, S_max, KH, Dh] (bf16/fp32 or int8)
     v: jnp.ndarray        # [L, B, S_max, KH, Dh]
     segment: jnp.ndarray  # [B, S_max] int32 (0 = empty/pad)
     length: jnp.ndarray   # scalar int32: filled prefix length
+    # int8 mode only: per-(position, head) dequantization scales
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, KH]
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
+    """dtype: jnp dtype, or the string 'int8' for a quantized cache
+    (per-position/head symmetric scales — the TPU answer to the reference's
+    optional quantized-KV CUDA kernel, qwen/cpp_kernels.py:39-55 /
+    modeling_qwen.py:308: halves KV HBM footprint and read bandwidth)."""
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if dtype == "int8" or dtype == jnp.int8:
+        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((batch, max_len), jnp.int32),
+                       jnp.zeros((), jnp.int32),
+                       jnp.zeros(shape[:-1], jnp.float32),
+                       jnp.zeros(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((batch, max_len), jnp.int32),
                    jnp.zeros((), jnp.int32))
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """[B, T, KH, Dh] -> (int8 values, [B, T, KH] scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 class DecoderOutput(NamedTuple):
@@ -312,10 +342,28 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     if cache is not None:
         # Decode / incremental prefill: write k,v into the cache at `length`.
         start = cache.length
-        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype),
-                                          (0, start, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype),
-                                          (0, start, 0, 0))
+        scales = None
+        if cache.quantized:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq,
+                                              (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq,
+                                              (0, start, 0, 0))
+            cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks,
+                                               (0, start, 0))
+            cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs,
+                                               (0, start, 0))
+            k_full = _dequantize_kv(ck, cks, q.dtype)
+            v_full = _dequantize_kv(cv, cvs, q.dtype)
+            scales = (cks, cvs)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+            k_full = ck.astype(q.dtype)
+            v_full = cv.astype(q.dtype)
         s_max = ck.shape[1]
         if segment_ids is not None:
             cseg = jax.lax.dynamic_update_slice(cache.segment,
@@ -337,9 +385,9 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                 start + jnp.arange(t)[None, :], (b, t)),
                 jnp.broadcast_to(jnp.arange(s_max)[None, :], (b, s_max)))
         out = dot_product_attention(
-            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask, bias=bias,
+            q, k_full, v_full, mask=mask, bias=bias,
             causal=False, scale=scale, softcap=softcap, impl="xla")
-        new_kv = (ck, cv, cseg)
+        new_kv = (ck, cv, cseg, scales)
     else:
         mask = None
         segs = None
@@ -518,6 +566,7 @@ def forward(
     moe_losses: List[jnp.ndarray] = []
     router_probs: List[jnp.ndarray] = []
     new_k, new_v, new_seg = [], [], None
+    new_ks, new_vs = [], []
 
     layer_fn = layer_forward
     if remat and cache is None:
@@ -537,13 +586,18 @@ def forward(
             new_k.append(kv[0])
             new_v.append(kv[1])
             new_seg = kv[2]
+            if kv[3] is not None:
+                new_ks.append(kv[3][0])
+                new_vs.append(kv[3][1])
 
     x = _norm(cfg, params["final_norm"], x)
 
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), new_seg,
-                            cache.length + t)
+        new_cache = KVCache(
+            jnp.stack(new_k), jnp.stack(new_v), new_seg, cache.length + t,
+            jnp.stack(new_ks) if new_ks else None,
+            jnp.stack(new_vs) if new_vs else None)
     return DecoderOutput(x, aux_total, tuple(moe_losses), tuple(router_probs),
                          new_cache)
 

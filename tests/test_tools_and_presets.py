@@ -132,3 +132,55 @@ def test_alibi_bias_prefers_recent_tokens():
     assert b[3, 3] == 0.0
     slopes = np.asarray(_alibi_slopes(8))
     assert slopes[0] > slopes[-1] > 0
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache
+# ---------------------------------------------------------------------------
+
+def test_int8_kv_cache_decode_parity():
+    """Quantized-cache incremental decode tracks the full fp32 forward
+    (the TPU answer to the reference's optional quantized-KV CUDA kernel,
+    qwen/cpp_kernels.py:39-55)."""
+    cfg = tiny_config(num_heads=4, num_kv_heads=2)
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    full = decoder.forward(params, cfg, input_ids=ids)
+
+    cache = decoder.init_cache(cfg, 2, 12, dtype="int8")
+    assert cache.quantized and cache.k.dtype == jnp.int8
+    o1 = decoder.forward(params, cfg, input_ids=ids[:, :8], cache=cache)
+    o2 = decoder.forward(params, cfg, input_ids=ids[:, 8:], cache=o1.cache)
+    assert o2.cache.k.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(o2.hidden),
+                               np.asarray(full.hidden[:, 8:]),
+                               rtol=0.08, atol=0.05)
+    # meaningfully tighter than no cache at all would be: the error is
+    # quantization-level, not structural
+    err = np.max(np.abs(np.asarray(o2.hidden) - np.asarray(full.hidden[:, 8:])))
+    assert err < 0.2, err
+
+
+def test_int8_generation_runs():
+    from llavamod_tpu.generation import GenerationConfig, generate
+    from llavamod_tpu.models import llava as llava_mod
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.train.steps import batch_from_arrays
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu")
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    b, t = 2, 8
+    s = cfg.vision.image_size
+    batch = batch_from_arrays({
+        "input_ids": np.ones((b, t), np.int32),
+        "segment_ids": np.ones((b, t), np.int32),
+        "image_mask": np.zeros((b, t), bool),
+        "image_pos": np.zeros((b, t), np.int32),
+        "pixels": np.zeros((b, 1, 3, s, s), np.float32),
+        "pixel_valid": np.zeros((b, 1), bool),
+        "labels": np.zeros((b, t), np.int32),
+    })
+    out = generate(params, cfg, batch,
+                   GenerationConfig(max_new_tokens=6, cache_dtype="int8"))
+    assert out.shape == (2, 6)
