@@ -14,7 +14,6 @@ GQA is handled by logical head grouping, never by materializing repeated K/V.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -14,14 +14,11 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
 
 def load_image(image_file: str):
-    from io import BytesIO
-
     from PIL import Image
 
     if image_file.startswith(("http://", "https://")):

@@ -15,7 +15,6 @@ All masks are pytree-structural and jit-compatible.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
