@@ -91,6 +91,7 @@ class TrainArgs:
     report_to: str = "none"             # none | wandb (gated on availability)
     run_name: Optional[str] = None
     # --- TPU-native knobs ---
+    profile_steps: int = 0              # trace N steps to output_dir/profile
     compute_dtype: str = "bfloat16"
     remat: bool = True
     attn_impl: str = "auto"

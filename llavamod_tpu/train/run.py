@@ -293,7 +293,8 @@ class _DeviceContext:
 
 class MetricLogger:
     """Accumulate step metrics; emit means every logging_steps
-    (reference store_metrics/log, align_trainer.py:596-614)."""
+    (reference store_metrics/log, align_trainer.py:596-614) to the console,
+    to <output_dir>/metrics.jsonl, and to wandb when available."""
 
     def __init__(self, targs: TrainArgs, total_steps: int):
         self.every = max(1, targs.logging_steps)
@@ -302,6 +303,13 @@ class MetricLogger:
         self.n = 0
         self.t0 = time.time()
         self.wandb = None
+        self.jsonl = None
+        try:
+            os.makedirs(targs.output_dir, exist_ok=True)
+            self.jsonl = open(os.path.join(targs.output_dir,
+                                           "metrics.jsonl"), "a")
+        except OSError as exc:
+            rank0_print(f"[log] metrics.jsonl unavailable ({exc})")
         if targs.report_to == "wandb":
             try:
                 import wandb  # type: ignore
@@ -322,6 +330,10 @@ class MetricLogger:
             parts = " ".join(f"{k}={v:.4g}" for k, v in sorted(means.items()))
             rank0_print(f"[step {step}/{self.total}] {parts} "
                         f"({dt:.2f}s/step)")
+            if self.jsonl is not None:
+                self.jsonl.write(json.dumps(
+                    {"step": step, "sec_per_step": round(dt, 4), **means}) + "\n")
+                self.jsonl.flush()
             if self.wandb is not None:
                 self.wandb.log(means, step=step)
             self.acc, self.n, self.t0 = {}, 0, time.time()
@@ -496,20 +508,56 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         last_metrics: Dict[str, float] = {}
         step_no = start_step
 
+        # preemption safety: SIGTERM triggers a checkpoint at the next step
+        # boundary before exiting (TPU pods get preempted; the reference
+        # relies on periodic HF Trainer saves only)
+        stop_requested = []
+        import signal
+
+        def _on_term(signum, frame):
+            rank0_print("[run] SIGTERM received; checkpointing then exiting")
+            stop_requested.append(True)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # non-main thread (tests)
+            prev_handler = None
+
         from llavamod_tpu.train.loader import infinite_batches
 
+        profiler_on = False
         for batch in infinite_batches(loader):
-            if step_no >= total_steps:
+            if step_no >= total_steps or stop_requested:
                 break
+            if targs.profile_steps and step_no == start_step + 1:
+                import jax.profiler
+
+                jax.profiler.start_trace(
+                    os.path.join(targs.output_dir, "profile"))
+                profiler_on = True
             batch = dev.shard_batch(batch)
             state, metrics = call(state, batch)
             step_no += 1
             last_metrics = {k: float(v) for k, v in metrics.items()}
             logger.update(step_no, last_metrics)
-            if targs.save_steps and step_no % targs.save_steps == 0 and (
-                    step_no < total_steps):
+            if profiler_on and step_no >= start_step + 1 + targs.profile_steps:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiler_on = False
+                rank0_print(f"[run] wrote profile to "
+                            f"{targs.output_dir}/profile")
+            if stop_requested or (
+                    targs.save_steps and step_no % targs.save_steps == 0
+                    and step_no < total_steps):
                 _save_periodic(targs.output_dir, step_no, state, targs, tcfg,
                                cfg, targs.save_total_limit)
+        if profiler_on:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
         final_save(targs.output_dir, cfg, state, lora_cfg, margs, tcfg)
     return last_metrics
