@@ -1,0 +1,82 @@
+"""CLI-level end-to-end tests: eval generate and serve chat drive a real
+native checkpoint directory through AutoTokenizer (no stubs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from llavamod_tpu.models import llava as llava_mod
+from llavamod_tpu.models.builder import save_model
+from llavamod_tpu.models.llava import LlavaConfig
+from llavamod_tpu.models.llm.config import tiny_config
+from llavamod_tpu.models.vision.vit import tiny_vision_config
+from util_tokenizer import make_tiny_tokenizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_e2e")
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu", max_images=1)
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    d = str(tmp / "model")
+    save_model(d, cfg, params)
+    make_tiny_tokenizer(d)  # tokenizer lives beside the weights
+    img_dir = tmp / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (32, 32), (60 * i, 20, 20)).save(img_dir / f"i{i}.png")
+    return d, str(img_dir), tmp
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            del env[k]
+    return env
+
+
+def test_eval_generate_cli(model_dir):
+    d, imgs, tmp = model_dir
+    qfile = tmp / "q.jsonl"
+    with open(qfile, "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"question_id": i, "text": "what is this?",
+                                 "image": f"i{i}.png"}) + "\n")
+    ans = tmp / "ans.jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "llavamod_tpu.eval.cli", "generate",
+         "--task", "generic", "--model-path", d,
+         "--question-file", str(qfile), "--image-folder", imgs,
+         "--answers-file", str(ans), "--conv-mode", "qwen",
+         "--batch-size", "2", "--max-new-tokens", "4"],
+        env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in open(ans)]
+    assert len(rows) == 3
+    assert all("text" in row and "answer_id" in row for row in rows)
+
+
+def test_serve_cli_chat(model_dir):
+    d, imgs, tmp = model_dir
+    r = subprocess.run(
+        [sys.executable, "-m", "llavamod_tpu.serve.cli",
+         "--model-path", d, "--image-file", os.path.join(imgs, "i0.png"),
+         "--conv-mode", "qwen", "--max-new-tokens", "4",
+         "--temperature", "0"],
+        input="hi there\n\n", env=_env(), capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ASSISTANT:" in r.stdout, r.stdout[-500:]
