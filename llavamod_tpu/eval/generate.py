@@ -262,9 +262,10 @@ def main():
                        extra_prompt=args.extra_prompt,
                        dump_gating=args.dump_gating,
                        model_id=os.path.basename(args.model_path.rstrip("/")))
+    eos_ids, stop_seqs = runner.stopping(())
     gcfg = GenerationConfig(max_new_tokens=args.max_new_tokens,
                             temperature=args.temperature, top_p=args.top_p,
-                            eos_token_ids=runner._eos_ids(()),
+                            eos_token_ids=eos_ids, stop_sequences=stop_seqs,
                             pad_token_id=tokenizer.pad_token_id or 0)
     runner.run(questions, args.image_folder, args.answers_file, gcfg)
 

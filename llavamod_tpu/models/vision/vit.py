@@ -194,6 +194,8 @@ def forward(params: Params, cfg: VisionConfig, pixels: jnp.ndarray,
         q = (ln1 @ a["q"]["kernel"] + a["q"]["bias"]).reshape(b, -1, h, dh)
         k = (ln1 @ a["k"]["kernel"] + a["k"]["bias"]).reshape(b, -1, h, dh)
         v = (ln1 @ a["v"]["kernel"] + a["v"]["bias"]).reshape(b, -1, h, dh)
+        # XLA path on purpose: 577 tokens pad to 1024 in the flash kernel
+        # and the padding overhead loses (measured on v5e)
         attn = dot_product_attention(q, k, v, causal=False, impl="xla")
         attn = attn.reshape(b, -1, cfg.hidden_size) @ a["o"]["kernel"] + a["o"]["bias"]
         x = x + attn
