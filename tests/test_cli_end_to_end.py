@@ -80,3 +80,15 @@ def test_serve_cli_chat(model_dir):
         timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ASSISTANT:" in r.stdout, r.stdout[-500:]
+
+
+def test_run_llava_single_query(model_dir):
+    d, imgs, tmp = model_dir
+    r = subprocess.run(
+        [sys.executable, "-m", "llavamod_tpu.eval.run_llava",
+         "--model-path", d, "--image-file", os.path.join(imgs, "i1.png"),
+         "--query", "describe", "--conv-mode", "qwen",
+         "--max-new-tokens", "4"],
+        env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip() != ""
