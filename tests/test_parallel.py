@@ -191,3 +191,31 @@ def test_expert_parallel_moe_matches_unsharded():
         y_mesh = jax.jit(run)(xs)
     np.testing.assert_allclose(np.asarray(y_local), np.asarray(y_mesh),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_gating_under_expert_mesh_matches_local():
+    """Grouped gating + dispatch einsums under an expert-sharded mesh must
+    equal the single-device result."""
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import tiny_config
+    from llavamod_tpu.models.llm.upcycle import upcycle
+
+    base = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64)
+    cfg0, params = upcycle(base, decoder.init(base, jax.random.PRNGKey(0)),
+                           moe_mode="dense", num_experts=4, top_k=2,
+                           capacity_factor=4.0, eval_capacity_factor=4.0)
+    cfg = cfg0.replace(moe_gating_group_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 32))
+    mlp = params["layers"][0]["mlp"]
+
+    y_local, _, _ = decoder.moe_block_forward(cfg, mlp, x, True, None)
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, expert=4, tensor=1))
+    with jax.set_mesh(mesh):
+        mlp_s = shard_params(mesh, {"llm": {"layers": [{"mlp": mlp}]}})
+        xs = jax.device_put(x, NamedSharding(mesh, P(("data",), None, None)))
+        y_mesh, _, _ = jax.jit(
+            lambda m, xv: decoder.moe_block_forward(cfg, m, xv, True, None)
+        )(mlp_s["llm"]["layers"][0]["mlp"], xs)
+    np.testing.assert_allclose(np.asarray(y_local), np.asarray(y_mesh),
+                               rtol=1e-5, atol=1e-6)
