@@ -163,7 +163,11 @@ def cmd_score(args) -> None:
         else:
             result = scorers.score_gqa(questions, preds)
     elif args.benchmark == "mme":
-        result = scorers.score_mme(_load_jsonl(args.answers))
+        rows = _load_jsonl(args.answers)
+        if args.question_file:  # join answers with question metadata + gt
+            rows = scorers.mme_rows_from_answers(
+                rows, _load_jsonl(args.question_file))
+        result = scorers.score_mme(rows)
     else:
         raise SystemExit(f"unknown score benchmark: {args.benchmark}")
 

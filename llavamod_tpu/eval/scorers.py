@@ -239,3 +239,29 @@ def score_mme(rows: Sequence[dict]) -> Dict[str, float]:
     out["cognition_score"] = sum(out.get(f"{t}/score", 0.0)
                                  for t in MME_COGNITION_TASKS)
     return out
+
+
+def mme_rows_from_answers(answers: Sequence[dict],
+                          questions: Sequence[dict]) -> List[dict]:
+    """Join generated answers with MME question metadata into score_mme rows
+    (the external convert_answer_to_mme.py step of the reference pipeline,
+    shells/eval/mme.sh).  Question rows need a ground-truth field
+    ('answer'/'gt'/'label') and ideally 'category'; two questions share an
+    image."""
+    q_by_id: Dict = {}
+    for q in questions:
+        q_by_id[str(q.get("question_id", q.get("id")))] = q
+    rows = []
+    for a in answers:
+        qid = str(a["question_id"])
+        q = q_by_id.get(qid)
+        if q is None:
+            continue
+        gt = q.get("answer") or q.get("gt") or q.get("label")
+        if gt is None:
+            continue
+        task = q.get("category") or qid.split("/")[0]
+        rows.append({"task": task,
+                     "image_id": q.get("image", qid),
+                     "gt": gt, "pred": a["text"]})
+    return rows

@@ -192,7 +192,11 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
                            model_args: Optional[ModelArgs] = None,
                            align: Optional[AlignArgs] = None,
                            dpo: Optional[DPOArgs] = None) -> TrainConfig:
-    """Fold the CLI dataclasses into the jitted-step TrainConfig."""
+    """Fold the CLI dataclasses into the jitted-step TrainConfig.
+
+    total_steps is in MICRO batches; the LR schedule inside optax.MultiSteps
+    advances once per OPTIMIZER step, so it gets total/accum."""
+    accum = max(1, targs.gradient_accumulation_steps)
     kw = dict(
         learning_rate=targs.learning_rate,
         mm_projector_lr=targs.mm_projector_lr,
@@ -200,7 +204,7 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
         max_grad_norm=targs.max_grad_norm,
         warmup_ratio=targs.warmup_ratio,
         lr_schedule=targs.lr_scheduler_type,
-        total_steps=total_steps,
+        total_steps=max(1, total_steps // accum),
         grad_accum_steps=targs.gradient_accumulation_steps,
         seed=targs.seed,
         stage=stage,

@@ -320,3 +320,23 @@ def test_vqa_runner_end_to_end_with_gating_dump(tmp_path):
     l, s, e = data["0"].shape  # [moe_layers, seq, experts]
     assert e == 2 and l == len(cfg.llm.moe_layers)
     np.testing.assert_allclose(data["0"].sum(-1), 1.0, rtol=1e-4)
+
+
+def test_mme_rows_join_and_score():
+    from llavamod_tpu.eval.scorers import mme_rows_from_answers, score_mme
+
+    questions = [
+        {"question_id": "OCR/0001.jpg-1", "image": "0001.jpg",
+         "category": "OCR", "text": "Is the word 'stop'? ...", "answer": "Yes"},
+        {"question_id": "OCR/0001.jpg-2", "image": "0001.jpg",
+         "category": "OCR", "text": "Is the word 'go'? ...", "answer": "No"},
+    ]
+    answers = [
+        {"question_id": "OCR/0001.jpg-1", "text": "Yes, it is."},
+        {"question_id": "OCR/0001.jpg-2", "text": "no"},
+    ]
+    rows = mme_rows_from_answers(answers, questions)
+    assert len(rows) == 2 and rows[0]["task"] == "OCR"
+    out = score_mme(rows)
+    assert out["OCR/acc"] == 100.0
+    assert out["OCR/acc_plus"] == 100.0  # both questions of the image correct
