@@ -88,7 +88,9 @@ def param_specs(params) -> Any:
 
 
 def batch_spec(ndim: int, *, seq_sharded: bool = False) -> P:
-    """Batch tensors: shard batch dim over (data, fsdp)."""
+    """Batch tensors: shard batch dim over (data, fsdp); scalars replicate."""
+    if ndim == 0:
+        return P()
     dims = [("data", "fsdp")]
     if seq_sharded and ndim > 1:
         dims.append("tensor")

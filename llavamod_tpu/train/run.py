@@ -523,10 +523,12 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         except ValueError:  # non-main thread (tests)
             prev_handler = None
 
+        from llavamod_tpu.runtime.prefetch import DevicePrefetcher
         from llavamod_tpu.train.loader import infinite_batches
 
+        batches = DevicePrefetcher(infinite_batches(loader), mesh=dev.mesh)
         profiler_on = False
-        for batch in infinite_batches(loader):
+        for batch in batches:
             if step_no >= total_steps or stop_requested:
                 break
             if targs.profile_steps and step_no == start_step + 1:
@@ -535,7 +537,6 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
                 jax.profiler.start_trace(
                     os.path.join(targs.output_dir, "profile"))
                 profiler_on = True
-            batch = dev.shard_batch(batch)
             state, metrics = call(state, batch)
             step_no += 1
             last_metrics = {k: float(v) for k, v in metrics.items()}
