@@ -78,3 +78,33 @@ def test_sampler_epoch_reshuffles():
     a = list(iter(r))
     r.set_epoch(3)
     assert a != list(iter(r))
+
+
+def test_config_json_fills_defaults_only(tmp_path):
+    """--config JSON provides defaults; explicit CLI flags win."""
+    import json
+
+    from llavamod_tpu.train.args import (
+        DataArgs,
+        ModelArgs,
+        TrainArgs,
+        parse_into_dataclasses,
+    )
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({"learning_rate": 5e-4, "model_max_length": 512,
+                               "version": "v1"}))
+    margs, dargs, targs = parse_into_dataclasses(
+        [ModelArgs, DataArgs, TrainArgs],
+        ["--config", str(cfg), "--model_max_length", "1024"])
+    assert targs.learning_rate == 5e-4          # from config
+    assert targs.model_max_length == 1024       # CLI override wins
+    assert margs.version == "v1"
+
+
+def test_lr_schedule_counts_optimizer_steps():
+    from llavamod_tpu.train.args import TrainArgs, train_config_from_args
+
+    targs = TrainArgs(gradient_accumulation_steps=8)
+    tcfg = train_config_from_args("align", targs, total_steps=800)
+    assert tcfg.total_steps == 100  # micro steps / accum

@@ -184,3 +184,46 @@ def test_int8_generation_runs():
     out = generate(params, cfg, batch,
                    GenerationConfig(max_new_tokens=6, cache_dtype="int8"))
     assert out.shape == (2, 6)
+
+
+# ---------------------------------------------------------------------------
+# extract_mm_projector / merge_lora tools
+# ---------------------------------------------------------------------------
+
+def test_extract_mm_projector_from_native(tmp_path):
+    from llavamod_tpu.models.builder import save_model
+    from llavamod_tpu.tools.extract_mm_projector import extract_mm_projector
+
+    cfg, params = _llava(0)
+    d = str(tmp_path / "m")
+    save_model(d, cfg, jax.tree_util.tree_map(np.asarray, params))
+    out = extract_mm_projector(d, str(tmp_path / "mm_projector.bin"))
+    import torch
+
+    state = torch.load(out, map_location="cpu", weights_only=True)
+    assert any("image_spatial_proj" in k for k in state)
+
+
+def test_merge_lora_tool_roundtrip(tmp_path):
+    from llavamod_tpu.models.builder import load_model, save_model
+    from llavamod_tpu.models.lora import LoraConfig, init_lora, merge_lora, save_lora_adapter
+    from llavamod_tpu.tools.merge_lora import merge_lora_weights
+
+    cfg, params = _llava(0)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    base_dir = str(tmp_path / "base")
+    save_model(base_dir, cfg, params)
+
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(params, lcfg, jax.random.PRNGKey(1))
+    lora = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+    adapter_dir = str(tmp_path / "adapter")
+    save_lora_adapter(adapter_dir, lora, lcfg)
+
+    out_dir = merge_lora_weights(adapter_dir, base_dir, str(tmp_path / "out"))
+    _, merged = load_model(out_dir)
+    expected = merge_lora(params, lora, lcfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["llm"]["layers"][0]["mlp"]["up"]),
+        np.asarray(expected["llm"]["layers"][0]["mlp"]["up"]),
+        rtol=1e-5, atol=1e-6)
