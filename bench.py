@@ -56,6 +56,7 @@ def main():
     # per-GPU batch 1, dense2sparse_distillation.sh)
     moe_group = int(os.environ.get("BENCH_MOE_GROUP", str(t)))
     remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
+    loss_type = os.environ.get("BENCH_LOSS", "only_kd")  # only_kd|kd_lm
     dtype = jnp.bfloat16
 
     log(f"devices: {jax.devices()}")
@@ -97,7 +98,7 @@ def main():
     # (dense2sparse_distillation.sh:56 --train_modules ... wg); frozen
     # params are stop-gradient'd so their backward is DCE'd and carry no
     # optimizer state.
-    tcfg = TrainConfig(stage="align", align_loss_type="only_kd",
+    tcfg = TrainConfig(stage="align", align_loss_type=loss_type,
                        compute_dtype="bfloat16", remat=remat,
                        kd_vocab_limit=151936, vocab_chunk=chunk,
                        attn_impl=attn,

@@ -245,6 +245,129 @@ chunked_kd_cross_entropy.defvjp(_kd_fwd, _kd_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused KD + CE  (the kd_lm recipe of record: one pass over student logits)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def chunked_kd_ce(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
+                  vocab_limit: int, chunk: int = DEFAULT_CHUNK):
+    """Fused  (KD loss, CE loss)  sharing ONE streaming pass.
+
+    The kd_lm objective (align_trainer.py:570-573) needs both the
+    teacher-KL and the student CE; computed separately they stream the
+    student logits twice.  Here one scan produces the shared student
+    logsumexp, the teacher statistics, AND the CE label logits; the fused
+    backward likewise folds both cotangents into one ds per chunk:
+        ds = g_kd*kd_w*(p_s - p_t) + g_ce*ce_w*(p_s - onehot(ce_ids)).
+    ce_ids must be < vocab_limit (mask + clamp upstream).  Returns
+    (kd_loss, ce_loss) scalars.
+    """
+    kd, ce, *_ = _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight,
+                                ce_ids, vocab_limit, chunk)
+    return kd, ce
+
+
+def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
+                   vocab_limit, chunk):
+    n = h_s.shape[0]
+    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
+    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
+    wsc = ws.reshape(nc, chunk, -1)
+    wtc = wt.reshape(nc, chunk, -1)
+
+    def step(carry, inputs):
+        m_s, l_s, m_t, l_t, a, picked = carry
+        ws_c, wt_c, c_idx = inputs
+        s = _chunk_logits(h_s, ws_c)
+        t = _chunk_logits(h_t, wt_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        s = jnp.where(valid, s, -jnp.inf)
+        t = jnp.where(valid, t, -jnp.inf)
+
+        m_s_new = jnp.maximum(m_s, jnp.max(s, axis=1))
+        l_s = l_s * jnp.exp(m_s - m_s_new) + jnp.sum(
+            jnp.exp(s - m_s_new[:, None]), axis=1)
+
+        m_t_new = jnp.maximum(m_t, jnp.max(t, axis=1))
+        rescale = jnp.exp(m_t - m_t_new)
+        et = jnp.where(valid, jnp.exp(t - m_t_new[:, None]), 0.0)
+        l_t = l_t * rescale + jnp.sum(et, axis=1)
+        a = a * rescale + jnp.sum(et * jnp.where(valid, s, 0.0), axis=1)
+
+        local = ce_ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        got = jnp.take_along_axis(
+            s, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
+        picked = jnp.where(in_chunk, got, picked)
+        return (m_s_new, l_s, m_t_new, l_t, a, picked), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (m_s, l_s, m_t, l_t, a, picked), _ = jax.lax.scan(
+        step, init, (wsc, wtc, jnp.arange(nc)))
+    lse_s = m_s + jnp.log(l_s)
+    lse_t = m_t + jnp.log(l_t)
+    kd = jnp.sum((lse_s - a / l_t) * kd_weight)
+    ce = jnp.sum((lse_s - picked) * ce_weight)
+    return kd, ce, lse_s, lse_t
+
+
+def _kdce_fwd(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
+              vocab_limit, chunk):
+    kd, ce, lse_s, lse_t = _kdce_fwd_impl(
+        h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, vocab_limit, chunk)
+    return (kd, ce), (h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
+                      lse_s, lse_t)
+
+
+def _kdce_bwd(vocab_limit, chunk, res, g):
+    h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, lse_s, lse_t = res
+    g_kd, g_ce = g
+    n, d_s = h_s.shape
+    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
+    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
+    wsc = ws.reshape(nc, chunk, -1)
+    wtc = wt.reshape(nc, chunk, -1)
+    coef_kd = (g_kd * kd_weight)[:, None]
+    coef_ce = (g_ce * ce_weight)[:, None]
+
+    def step(dh, inputs):
+        ws_c, wt_c, c_idx = inputs
+        s = _chunk_logits(h_s, ws_c)
+        t = _chunk_logits(h_t, wt_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
+        p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
+        local = ce_ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
+                  == jnp.clip(local, 0, chunk - 1)[:, None]) & in_chunk[:, None]
+        ds = coef_kd * (p_s - p_t) + coef_ce * (p_s - onehot)
+        dh = dh + jax.lax.dot(ds.astype(ws_c.dtype), ws_c,
+                              preferred_element_type=jnp.float32)
+        dw_c = jax.lax.dot_general(ds.astype(h_s.dtype), h_s,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return dh, dw_c
+
+    dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
+                                 (wsc, wtc, jnp.arange(nc)))
+    dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
+    pad_rows = w_s.shape[0] - vocab_limit
+    if pad_rows > 0:
+        dw = jnp.concatenate([dw, jnp.zeros((pad_rows, dw.shape[1]), dw.dtype)], 0)
+    return (dh.astype(h_s.dtype), dw.astype(w_s.dtype), None, None,
+            jnp.zeros_like(kd_weight), jnp.zeros_like(ce_weight), None)
+
+
+chunked_kd_ce.defvjp(_kdce_fwd, _kdce_bwd)
+
+
+# ---------------------------------------------------------------------------
 # High-level losses
 # ---------------------------------------------------------------------------
 
@@ -298,6 +421,50 @@ def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     w_head_t = jax.lax.stop_gradient(w_head_t)
     loss = chunked_kd_cross_entropy(h_s, w_head_s, h_t, w_head_t, weight, v, chunk)
     return TokenLossOutput(loss, denom)
+
+
+class KdCeOutput(NamedTuple):
+    kd_loss: jnp.ndarray
+    ce_loss: jnp.ndarray
+    kd_tokens: jnp.ndarray
+    ce_tokens: jnp.ndarray
+
+
+def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
+                     ignore_index: int = -100,
+                     vocab_limit: Optional[int] = None,
+                     distill_all_tokens: bool = False,
+                     chunk: int = DEFAULT_CHUNK) -> KdCeOutput:
+    """kd_lm objective in one streaming pass (align_trainer.py:570-573):
+    KD is same-position over the response mask; CE is next-token-shifted —
+    both share the same [B*T] student logit stream (the last position's CE
+    target is masked, matching the shift)."""
+    b, t, d_s = hidden_s.shape
+    v = min(w_head_s.shape[0], w_head_t.shape[0]) if vocab_limit is None else vocab_limit
+    h_s = hidden_s.reshape(b * t, d_s)
+    h_t = jax.lax.stop_gradient(hidden_t.reshape(b * t, hidden_t.shape[-1]))
+    w_head_t = jax.lax.stop_gradient(w_head_t)
+
+    flat = labels.reshape(b * t)
+    if distill_all_tokens:
+        kd_mask = jnp.ones((b * t,), jnp.float32)
+    else:
+        kd_mask = (flat != ignore_index).astype(jnp.float32)
+    kd_denom = jnp.maximum(jnp.sum(kd_mask), 1.0)
+
+    # CE: row i predicts labels[i+1]; the last row of each sequence is masked
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((b, 1), ignore_index, labels.dtype)], axis=1)
+    ce_ids_full = shifted.reshape(b * t)
+    ce_mask = (ce_ids_full != ignore_index) & (ce_ids_full < v)
+    ce_mask = ce_mask.astype(jnp.float32)
+    ce_denom = jnp.maximum(jnp.sum(ce_mask), 1.0)
+    ce_ids = jnp.where(ce_mask > 0, ce_ids_full, 0).astype(jnp.int32)
+
+    kd, ce = chunked_kd_ce(h_s, w_head_s, h_t, w_head_t,
+                           kd_mask / kd_denom, ce_mask / ce_denom, ce_ids,
+                           v, chunk)
+    return KdCeOutput(kd, ce, kd_denom, ce_denom)
 
 
 def sequence_log_prob(hidden, w_head, labels, ignore_index: int = -100,

@@ -34,6 +34,7 @@ from llavamod_tpu.models.llava import LlavaConfig, MultimodalBatch
 from llavamod_tpu.ops.losses import (
     dpo_loss,
     kd_align_loss,
+    kd_ce_align_loss,
     sequence_log_prob,
     softmax_cross_entropy,
 )
@@ -212,17 +213,27 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                                     tcfg=tcfg, lora_cfg=lora_cfg,
                                     tower_feats=tower)
         h_t, w_t = teacher_forward(teacher_params, batch, tower)
-        kd = kd_align_loss(out.hidden, w_s, h_t, w_t, batch.labels,
-                           vocab_limit=vocab_limit,
-                           distill_all_tokens=tcfg.distill_all_tokens,
-                           chunk=tcfg.vocab_chunk)
-        loss = kd.loss
-        metrics: Metrics = {"loss/align": kd.loss, "num_tokens": kd.num_tokens}
+        metrics: Metrics = {}
         if tcfg.align_loss_type == "kd_lm":
-            ce = softmax_cross_entropy(out.hidden, w_s, batch.labels,
-                                       chunk=tcfg.vocab_chunk)
-            loss = loss + ce.loss
-            metrics["loss/lm"] = ce.loss
+            # fused: ONE streaming pass over the student logits for both
+            # losses (ops/losses.chunked_kd_ce)
+            fused = kd_ce_align_loss(
+                out.hidden, w_s, h_t, w_t, batch.labels,
+                vocab_limit=vocab_limit,
+                distill_all_tokens=tcfg.distill_all_tokens,
+                chunk=tcfg.vocab_chunk)
+            loss = fused.kd_loss + fused.ce_loss
+            metrics["loss/align"] = fused.kd_loss
+            metrics["loss/lm"] = fused.ce_loss
+            metrics["num_tokens"] = fused.kd_tokens
+        else:
+            kd = kd_align_loss(out.hidden, w_s, h_t, w_t, batch.labels,
+                               vocab_limit=vocab_limit,
+                               distill_all_tokens=tcfg.distill_all_tokens,
+                               chunk=tcfg.vocab_chunk)
+            loss = kd.loss
+            metrics["loss/align"] = kd.loss
+            metrics["num_tokens"] = kd.num_tokens
         if student_cfg.llm.is_moe and tcfg.moe_loss_enable:
             moe = student_cfg.llm.router_aux_loss_coef * out.aux_loss
             loss = loss + moe

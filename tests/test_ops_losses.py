@@ -177,3 +177,62 @@ def test_dpo_sigmoid_golden():
     logits = (pc - pr) - (rc - rr)  # 5 - 3 = 2
     expected = -jax.nn.log_sigmoid(0.1 * logits)
     np.testing.assert_allclose(out.losses, expected, rtol=1e-6)
+
+
+def test_fused_kd_ce_matches_separate_losses():
+    """chunked_kd_ce == (kd_align_loss, shifted softmax_cross_entropy) in
+    values AND gradients (it shares one streaming pass)."""
+    from llavamod_tpu.ops.losses import (
+        kd_align_loss,
+        kd_ce_align_loss,
+        softmax_cross_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, ds, dt, v = 2, 16, 24, 32, 97
+    h_s = jnp.asarray(rng.normal(size=(b, t, ds)), jnp.float32)
+    h_t = jnp.asarray(rng.normal(size=(b, t, dt)), jnp.float32)
+    w_s = jnp.asarray(rng.normal(size=(v + 5, ds)) * 0.3, jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(v + 9, dt)) * 0.3, jnp.float32)
+    labels = rng.integers(0, v, size=(b, t)).astype(np.int32)
+    labels[:, :4] = -100
+    labels[0, 9] = -100
+    labels = jnp.asarray(labels)
+
+    def fused(h_s, w_s):
+        out = kd_ce_align_loss(h_s, w_s, h_t, w_t, labels, vocab_limit=v,
+                               chunk=32)
+        return out.kd_loss + out.ce_loss, (out.kd_loss, out.ce_loss)
+
+    def separate(h_s, w_s):
+        kd = kd_align_loss(h_s, w_s, h_t, w_t, labels, vocab_limit=v, chunk=32)
+        ce = softmax_cross_entropy(h_s, w_s, labels, vocab_limit=v, chunk=32)
+        return kd.loss + ce.loss, (kd.loss, ce.loss)
+
+    (tot_f, (kd_f, ce_f)), g_f = jax.value_and_grad(
+        fused, argnums=(0, 1), has_aux=True)(h_s, w_s)
+    (tot_s, (kd_s, ce_s)), g_s = jax.value_and_grad(
+        separate, argnums=(0, 1), has_aux=True)(h_s, w_s)
+
+    assert float(kd_f) == pytest.approx(float(kd_s), rel=1e-5)
+    assert float(ce_f) == pytest.approx(float(ce_s), rel=1e-5)
+    for a, b_ in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_fused_kd_ce_distill_all_tokens():
+    from llavamod_tpu.ops.losses import kd_align_loss, kd_ce_align_loss
+
+    rng = np.random.default_rng(1)
+    b, t, d, v = 1, 8, 16, 50
+    h_s = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    h_t = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(v, d)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, size=(b, t)), jnp.int32)
+    out = kd_ce_align_loss(h_s, w, h_t, w, labels, vocab_limit=v,
+                           distill_all_tokens=True, chunk=16)
+    ref = kd_align_loss(h_s, w, h_t, w, labels, vocab_limit=v,
+                        distill_all_tokens=True, chunk=16)
+    assert float(out.kd_loss) == pytest.approx(float(ref.loss), rel=1e-5)
+    assert float(out.kd_tokens) == b * t
