@@ -427,6 +427,7 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
     )
 
     assert stage in ("pretrain", "finetune", "align", "dpo"), stage
+    _maybe_init_multihost()
     if tokenizer is None:
         tokenizer = load_tokenizer(margs)
 
@@ -562,6 +563,25 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
 
         final_save(targs.output_dir, cfg, state, lora_cfg, margs, tcfg)
     return last_metrics
+
+
+def _maybe_init_multihost() -> None:
+    """Join a multi-host TPU pod when the standard coordinator env vars are
+    present (the deepspeed-launcher equivalent; on a pod slice GKE/Cloud TPU
+    sets these).  Single-host runs are untouched."""
+    import os as _os
+
+    if not (_os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or _os.environ.get("COORDINATOR_ADDRESS")):
+        return
+    import jax
+
+    try:
+        jax.distributed.initialize()
+        rank0_print(f"[mesh] multihost: process {jax.process_index()}"
+                    f"/{jax.process_count()}")
+    except Exception as exc:  # already initialized / single host
+        rank0_print(f"[mesh] jax.distributed.initialize skipped: {exc}")
 
 
 def load_tokenizer(margs: ModelArgs):

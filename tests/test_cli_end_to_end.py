@@ -92,3 +92,31 @@ def test_run_llava_single_query(model_dir):
         env=_env(), capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.strip() != ""
+
+
+def test_train_cli_stage1(model_dir):
+    """python -m llavamod_tpu.train.train as a real subprocess with a real
+    AutoTokenizer (verify surface 3)."""
+    d, imgs, tmp = model_dir
+    data = tmp / "sft_cli.json"
+    records = [{"id": i, "image": f"i{i % 3}.png", "conversations": [
+        {"from": "human", "value": "<image>\nwhat?"},
+        {"from": "gpt", "value": f"bus {i}"}]} for i in range(8)]
+    data.write_text(json.dumps(records))
+    out = str(tmp / "train_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "llavamod_tpu.train.train",
+         "--model_name_or_path", d, "--version", "plain",
+         "--data_path", str(data), "--image_folder", imgs,
+         "--tune_mm_mlp_adapter", "true",
+         "--output_dir", out, "--max_steps", "2",
+         "--per_device_train_batch_size", "4",
+         "--model_max_length", "128", "--dataloader_num_workers", "0",
+         "--compute_dtype", "float32", "--remat", "false",
+         "--vocab_chunk", "128", "--save_steps", "100"],
+        env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(out, "mm_projector.bin"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    steps = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert steps and "loss" in steps[-1]
