@@ -197,15 +197,71 @@ def _activation(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(cfg.activation)
 
 
+def dense(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w where w is a plain array OR an int8-quantized dict
+    {'w_int8': [in, out] int8, 'scale': [out] fp32}.
+
+    Quantized path: dynamic per-row symmetric activation quantization, int8
+    MXU matmul (2x bf16 peak on v5e), fp32 rescale.  Used for frozen teacher
+    inference (quantize_decoder_int8); training paths keep plain weights.
+    """
+    if isinstance(w, dict) and "w_int8" in w:
+        s_x = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        s_x = jnp.maximum(s_x / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w["w_int8"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * s_x
+                * w["scale"].astype(jnp.float32)).astype(x.dtype)
+    return x @ w
+
+
+def quantize_dense_int8(w: jnp.ndarray):
+    """[in, out] float -> {'w_int8', 'scale'} with per-output-channel scales."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return {"w_int8": q, "scale": scale.astype(jnp.float32)}
+
+
+_QUANT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_decoder_int8(params: Params) -> Params:
+    """Quantize every layer's attention/MLP weights to int8 (embed, norms,
+    lm_head stay float — the head feeds the fp32 chunked losses)."""
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        attn = dict(layer["attn"])
+        for k in ("wq", "wk", "wv", "wo"):
+            attn[k] = quantize_dense_int8(attn[k])
+        layer["attn"] = attn
+        mlp = dict(layer["mlp"])
+        for k in ("gate", "up", "down"):
+            if k in mlp and not isinstance(mlp[k], dict):
+                mlp[k] = quantize_dense_int8(mlp[k])
+        if "experts" in mlp:  # leave experts float (teacher is dense)
+            pass
+        layer["mlp"] = mlp
+        layers.append(layer)
+    out["layers"] = layers
+    return out
+
+
 def mlp_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    up = x @ p["up"]
+    up = dense(x, p["up"])
     if cfg.mlp_bias:
         up = up + p["up_bias"]
     if cfg.gated_mlp:
-        h = _activation(cfg, x @ p["gate"]) * up
+        h = _activation(cfg, dense(x, p["gate"])) * up
     else:
         h = _activation(cfg, up)
-    out = h @ p["down"]
+    out = dense(h, p["down"])
     if cfg.mlp_bias:
         out = out + p["down_bias"]
     return out
@@ -315,9 +371,9 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     b, t, d = x.shape
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = x @ p["wq"]
-    k = x @ p["wk"]
-    v = x @ p["wv"]
+    q = dense(x, p["wq"])
+    k = dense(x, p["wk"])
+    v = dense(x, p["wv"])
     if cfg.qkv_bias:
         q, k, v = q + p["bq"], k + p["bk"], v + p["bv"]
     q = q.reshape(b, t, h, dh)
@@ -412,7 +468,7 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                                         impl="xla" if bias is not None
                                         else attn_impl)
 
-    out = out.reshape(b, t, h * dh) @ p["wo"]
+    out = dense(out.reshape(b, t, h * dh), p["wo"])
     if cfg.o_bias:
         out = out + p["bo"]
     return out, new_kv

@@ -227,3 +227,23 @@ def test_merge_lora_tool_roundtrip(tmp_path):
         np.asarray(merged["llm"]["layers"][0]["mlp"]["up"]),
         np.asarray(expected["llm"]["layers"][0]["mlp"]["up"]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_int8_quantized_decoder_close_to_float():
+    """quantize_decoder_int8: per-channel weight + dynamic activation int8
+    keeps hidden states within quantization-level error of the float path
+    (the optional quantized-teacher inference mode)."""
+    cfg = tiny_config(num_heads=4, num_kv_heads=4, hidden_size=64,
+                      intermediate_size=128, num_layers=2)
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    qparams = dict(params)
+    qparams = decoder.quantize_decoder_int8(params)
+    assert qparams["layers"][0]["attn"]["wq"]["w_int8"].dtype == jnp.int8
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    h_f = decoder.forward(params, cfg, input_ids=ids).hidden
+    h_q = decoder.forward(qparams, cfg, input_ids=ids).hidden
+    ref = np.asarray(h_f)
+    err = np.abs(np.asarray(h_q) - ref).max()
+    scale = np.abs(ref).max()
+    assert err < 0.05 * scale, (err, scale)
