@@ -41,7 +41,7 @@ def main():
     from llavamod_tpu.train.optim import TrainState
     from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
 
-    b = int(os.environ.get("BENCH_BATCH", "2"))
+    b = int(os.environ.get("BENCH_BATCH", "4"))  # sweep: B=4 peaks on v5e
     t = int(os.environ.get("BENCH_SEQ", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     # bisection knobs (defaults = the full headline workload)
