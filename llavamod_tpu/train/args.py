@@ -113,6 +113,9 @@ class AlignArgs:
     ref_pretrain_mm_mlp_adapter: Optional[str] = None
     moe_loss_enable: bool = False
     kd_vocab_limit: Optional[int] = None
+    # '' | 'int8' — run the frozen teacher's attention/MLP on the int8 MXU
+    # (W8A8, 2x bf16 peak; measured KD-loss delta ~5e-4, see BENCH_NOTES.md)
+    ref_quant: str = ""
 
 
 @dataclasses.dataclass

@@ -481,6 +481,12 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         if _can_share_tower(tcfg, cfg, teacher_cfg) and "vision" in teacher_params:
             teacher_params = {k: v for k, v in teacher_params.items()
                               if k != "vision"}
+        if salign is not None and getattr(salign, "ref_quant", "") == "int8":
+            from llavamod_tpu.models.llm.decoder import quantize_decoder_int8
+
+            teacher_params = dict(teacher_params)
+            teacher_params["llm"] = quantize_decoder_int8(teacher_params["llm"])
+            rank0_print("[build] teacher attention/MLP quantized to int8 (W8A8)")
 
     # ---- state / step fn, under the (optional) mesh ----
     with _DeviceContext(targs) as dev:

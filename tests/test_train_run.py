@@ -181,3 +181,18 @@ def test_auto_resume(stage_dirs):
     targs2 = _targs(out, max_steps=3, save_steps=1)
     run_stage("pretrain", margs, dargs, targs2, tokenizer=StubTok())
     assert os.path.isdir(os.path.join(out, "checkpoint-2"))
+
+
+def test_align_with_int8_teacher(stage_dirs, tmp_path):
+    _, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_int8t")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=model_dir, version="qwen"),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, max_steps=1, model_max_length=256),
+        salign=AlignArgs(policy_model_type="dense",
+                         ref_model_name_or_path=model_dir,
+                         ref_quant="int8"),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
