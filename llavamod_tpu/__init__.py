@@ -16,4 +16,4 @@ Pallas flash kernel.  There is no translation of the reference's
 DeepSpeed/NCCL/torch machinery anywhere in this tree.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -481,7 +481,8 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         if _can_share_tower(tcfg, cfg, teacher_cfg) and "vision" in teacher_params:
             teacher_params = {k: v for k, v in teacher_params.items()
                               if k != "vision"}
-        if salign is not None and getattr(salign, "ref_quant", "") == "int8":
+        stage_args = salign or sdpo
+        if stage_args is not None and getattr(stage_args, "ref_quant", "") == "int8":
             from llavamod_tpu.models.llm.decoder import quantize_decoder_int8
 
             teacher_params = dict(teacher_params)
