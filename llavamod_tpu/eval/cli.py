@@ -159,7 +159,8 @@ def cmd_score(args) -> None:
         if args.full:
             from llavamod_tpu.eval.gqa_eval import score_gqa_full
 
-            result = score_gqa_full(questions, preds)
+            choices = _load_json(args.choices) if args.choices else None
+            result = score_gqa_full(questions, preds, choices=choices)
         else:
             result = scorers.score_gqa(questions, preds)
     elif args.benchmark == "mme":
@@ -234,6 +235,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--annotation-dir", default=None)
     s.add_argument("--full", action="store_true",
                    help="GQA: full official metric suite")
+    s.add_argument("--choices", default=None,
+                   help="GQA val_choices.json for validity/plausibility")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_score)
     return ap
