@@ -58,7 +58,10 @@ def trainable_mask(params, cfg: TrainConfig, lora_cfg=None) -> Any:
         if p.startswith("vision"):
             return False
         is_projector = p.startswith("projector")
-        if cfg.stage == "pretrain" or cfg.tune_mm_mlp_adapter:
+        if cfg.tune_mm_mlp_adapter:
+            # stage-1 adaptor init trains ONLY the projector; driven by the
+            # flag, not the script — the reference's train.py also does full
+            # SFT / MoE-SFT when the flag is off (train/train.py:478-495)
             return is_projector
         if is_projector and cfg.freeze_mm_mlp_adapter:
             return False

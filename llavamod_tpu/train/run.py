@@ -207,7 +207,7 @@ def build_data_module(stage: str, margs: ModelArgs, dargs: DataArgs,
     dataset = ds_cls(
         dargs.data_path, tokenizer, make_image_preprocessor(cfg),
         image_folder=dargs.image_folder,
-        template_name="plain" if stage == "pretrain" else margs.version,
+        template_name=margs.version,
         model_max_length=targs.model_max_length,
         is_multimodal=dargs.is_multimodal,
         num_frames=dargs.num_frames,
@@ -603,13 +603,14 @@ def load_tokenizer(margs: ModelArgs):
 
 def main(argv=None, stage: Optional[str] = None) -> None:
     args = list(sys.argv[1:] if argv is None else argv)
+    # an explicit --stage always wins (e.g. `train.py --stage finetune`
+    # for SFT/MoE-SFT, mirroring the reference's single train.py script)
+    if "--stage" in args:
+        i = args.index("--stage")
+        stage = args[i + 1]
+        del args[i:i + 2]
     if stage is None:
-        if "--stage" in args:
-            i = args.index("--stage")
-            stage = args[i + 1]
-            del args[i:i + 2]
-        else:
-            stage = "pretrain"
+        stage = "pretrain"
     classes = [ModelArgs, DataArgs, TrainArgs]
     if stage == "align":
         classes.append(AlignArgs)

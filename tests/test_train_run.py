@@ -196,3 +196,24 @@ def test_align_with_int8_teacher(stage_dirs, tmp_path):
                          ref_quant="int8"),
         tokenizer=StubTok())
     assert np.isfinite(metrics["loss"])
+
+
+def test_pretrain_stage_full_sft_when_flag_off(stage_dirs, tmp_path):
+    """tune_mm_mlp_adapter=false through train.py = full SFT (reference
+    train/train.py semantics: the flag drives freezing, not the script)."""
+    _, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_sft")
+    from llavamod_tpu.models.builder import load_model
+
+    cfg0, params0 = load_model(model_dir)
+    metrics = run_stage(
+        "pretrain",
+        ModelArgs(model_name_or_path=model_dir, version="qwen",
+                  tune_mm_mlp_adapter=False),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, max_steps=1, model_max_length=256), tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    _, params1 = load_model(out)
+    before = np.asarray(params0["llm"]["layers"][0]["mlp"]["up"])
+    after = np.asarray(params1["llm"]["layers"][0]["mlp"]["up"])
+    assert np.abs(after - before).max() > 0  # LLM actually trained
