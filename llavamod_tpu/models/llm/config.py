@@ -49,6 +49,12 @@ class DecoderConfig:
     layernorm_eps: float = 1e-5
     use_rope: bool = True                    # mpt: False (ALiBi only)
     alibi: bool = False                      # mpt: True
+    # qwen-1.0 long-context inference scaling (reference vendored
+    # modeling_qwen.py:286-298,481-491).  Both are identity below
+    # rope_seq_length, so they can stay enabled during training.
+    use_dynamic_ntk: bool = False            # NTK-aware rope base rescale
+    use_logn_attn: bool = False              # log_n query scaling
+    rope_seq_length: int = 2048              # training context they anchor to
 
     # --- MoE block (populated after sparse upcycling; None = dense) ---
     moe_num_experts: int = 0
@@ -176,11 +182,12 @@ STABLELM_2_1_6B = _reg(DecoderConfig(
 QWEN_7B_V1 = _reg(DecoderConfig(
     # Qwen-1.0 7B (reference vendored modeling_qwen.py): fused gated MLP
     # (w1/w2 halves of intermediate_size=22016 -> 11008 each), QKV bias,
-    # untied head.  Dynamic-NTK/logn inference scaling intentionally omitted
-    # (we never exceed max_position_embeddings on this recipe).
+    # untied head, dynamic-NTK + logn-attn long-context inference scaling
+    # anchored at the 8192 training context (modeling_qwen.py:286-298).
     name="qwen-7b", vocab_size=151936, hidden_size=4096,
     intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
     rope_theta=1e4, rms_norm_eps=1e-6, qkv_bias=True,
+    use_dynamic_ntk=True, use_logn_attn=True, rope_seq_length=8192,
     max_position_embeddings=8192), "qwen_7b", "qwen-v1")
 
 MPT_7B = _reg(DecoderConfig(

@@ -230,10 +230,29 @@ def quantize_dense_int8(w: jnp.ndarray):
 _QUANT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 
-def quantize_decoder_int8(params: Params) -> Params:
-    """Quantize every layer's attention/MLP weights to int8 (embed, norms,
-    lm_head stay float — the head feeds the fp32 chunked losses)."""
+def quantize_head_int8(w: jnp.ndarray):
+    """[V, D] head/embedding-layout weight -> {'w_int8' [V, D],
+    'scale' [V]} with per-vocab-row symmetric scales (the layout the
+    vocab-chunked losses stream, ops/losses._prep_head_stream)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return {"w_int8": q, "scale": scale.astype(jnp.float32)}
+
+
+def quantize_decoder_int8(params: Params,
+                          include_lm_head: bool = False) -> Params:
+    """Quantize every layer's attention/MLP weights to int8 (embed and norms
+    stay float).  include_lm_head additionally quantizes the output head —
+    per-vocab-row scales, consumed on the int8 MXU by the chunked KD losses
+    and logits_from_hidden; for tied-embedding models an int8 COPY is added
+    under 'lm_head' (the float embedding stays for input lookup) which
+    lm_head_weight then prefers."""
     out = dict(params)
+    if include_lm_head:
+        w = lm_head_weight(params, None)
+        out["lm_head"] = {"weight": quantize_head_int8(w)}
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
@@ -381,9 +400,27 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     v = v.reshape(b, t, kh, dh)
 
     if cfg.use_rope:
-        cos, sin = rope_table(positions, dh, cfg.rope_theta, cfg.rotary_dim)
+        theta = cfg.rope_theta
+        if cfg.use_dynamic_ntk:
+            # NTK-aware base rescale once the context exceeds the training
+            # length (modeling_qwen.py:286-298): alpha = 2^ceil(log2(L/L0)+1)
+            # - 1 clamped to >= 1, base *= alpha^(r/(r-2)).  Identity for
+            # L <= L0, so safe to leave on during training.
+            rdim = cfg.rotary_dim
+            true_len = jnp.max(positions).astype(jnp.float32) + 1.0
+            ctx = jnp.ceil(jnp.log2(true_len / cfg.rope_seq_length) + 1.0)
+            alpha = jnp.maximum(2.0 ** ctx - 1.0, 1.0)
+            theta = cfg.rope_theta * alpha ** (rdim / (rdim - 2))
+        cos, sin = rope_table(positions, dh, theta, cfg.rotary_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if cfg.use_logn_attn:
+            # logn query scaling (modeling_qwen.py:481-491): at absolute
+            # position p the query is scaled by log_{L0}(p+1), clamped >= 1.
+            npos = positions.astype(jnp.float32) + 1.0
+            logn = jnp.maximum(
+                jnp.log(npos) / jnp.log(float(cfg.rope_seq_length)), 1.0)
+            q = (q.astype(jnp.float32) * logn[..., None, None]).astype(q.dtype)
 
     scale = (cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
              else dh ** -0.5)
@@ -665,18 +702,33 @@ def embed(params: Params, cfg: DecoderConfig, input_ids: jnp.ndarray) -> jnp.nda
     return e
 
 
-def lm_head_weight(params: Params, cfg: DecoderConfig) -> jnp.ndarray:
-    """[V, D] output-projection weight (tied embedding or separate head)."""
-    if cfg.tie_word_embeddings or "lm_head" not in params:
-        return params["embed"]["embedding"]
-    return params["lm_head"]["weight"]
+def lm_head_weight(params: Params, cfg: Optional[DecoderConfig] = None):
+    """[V, D] output-projection weight (tied embedding or separate head),
+    or the int8 dict from quantize_head_int8.  An explicit 'lm_head' entry
+    wins even for tied models (that's where the int8 copy lives)."""
+    if "lm_head" in params:
+        return params["lm_head"]["weight"]
+    return params["embed"]["embedding"]
 
 
 def logits_from_hidden(params: Params, cfg: DecoderConfig,
                        hidden: jnp.ndarray) -> jnp.ndarray:
     w = lm_head_weight(params, cfg)
-    logits = jnp.einsum("btd,vd->btv", hidden, w,
-                        preferred_element_type=jnp.float32)
+    if isinstance(w, dict) and "w_int8" in w:
+        # int8 head: dynamic per-row activation quant, int8 MXU matmul
+        b, t, d = hidden.shape
+        h = hidden.reshape(b * t, d).astype(jnp.float32)
+        s_h = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0,
+                          1e-8)
+        hq = jnp.clip(jnp.round(h / s_h), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(hq, w["w_int8"], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        logits = (y.astype(jnp.float32) * s_h
+                  * w["scale"].astype(jnp.float32)[None, :])
+        logits = logits.reshape(b, t, -1)
+    else:
+        logits = jnp.einsum("btd,vd->btv", hidden, w,
+                            preferred_element_type=jnp.float32)
     if cfg.final_logit_softcap is not None:
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c

@@ -39,6 +39,55 @@ def _chunk_logits(h, w_chunk):
     )
 
 
+def _head_rows(w) -> int:
+    """Vocab-row count of a head weight (plain [V, D] array or int8 dict)."""
+    return w["w_int8"].shape[0] if isinstance(w, dict) else w.shape[0]
+
+
+def _rowquant(h):
+    """[N, D] float -> ([N, D] int8, [N] fp32): dynamic per-row symmetric."""
+    s = jnp.maximum(
+        jnp.max(jnp.abs(h.astype(jnp.float32)), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(h.astype(jnp.float32) / s[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _prep_head_stream(h, w, vocab_limit: int, chunk: int):
+    """Build the per-chunk logit computation for one (hidden, head) pair.
+
+    Returns (logit_fn, xs, nc): `xs` is the pytree scanned over (leading
+    axis nc = number of vocab chunks) and `logit_fn(xs_chunk) -> [N, C]`
+    fp32 logits.
+
+    Plain [V, D] head -> bf16 MXU matmul.  int8 head (the dict layout of
+    decoder.quantize_dense_int8, per-vocab-row scales) -> the hidden states
+    are dynamically row-quantized ONCE here and each chunk runs on the int8
+    MXU at 2x bf16 peak — used for the frozen distillation teacher, whose
+    head matmul is recomputed in the loss backward and would otherwise be
+    the single largest teacher cost (2 full [N, D_t] x [D_t, V] passes)."""
+    if isinstance(w, dict) and "w_int8" in w:
+        hq, hs = _rowquant(h)
+        nc = _num_chunks(vocab_limit, chunk)
+        wq = w["w_int8"][:vocab_limit]
+        sw = w["scale"][:vocab_limit].astype(jnp.float32)
+        pad = (-vocab_limit) % chunk
+        if pad:
+            wq = jnp.pad(wq, ((0, pad), (0, 0)))
+            sw = jnp.pad(sw, ((0, pad),))
+        xs = {"w": wq.reshape(nc, chunk, -1), "s": sw.reshape(nc, chunk)}
+
+        def logit_fn(xs_c):
+            y = jax.lax.dot_general(hq, xs_c["w"], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * hs[:, None] * xs_c["s"][None, :]
+
+        return logit_fn, xs, nc
+    wp, nc = _pad_vocab(w, vocab_limit, chunk)
+    xs = {"w": wp.reshape(nc, chunk, -1)}
+    return (lambda xs_c: _chunk_logits(h, xs_c["w"])), xs, nc
+
+
 def _pad_vocab(w: jnp.ndarray, vocab_limit: int, chunk: int) -> Tuple[jnp.ndarray, int]:
     """Slice the head weight to vocab_limit rows and pad to a chunk multiple."""
     w = w[:vocab_limit]
@@ -72,13 +121,12 @@ def chunked_lse_and_gather(h, w, ids, vocab_limit: int, chunk: int = DEFAULT_CHU
 
 def _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk):
     n, d = h.shape
-    wp, nc = _pad_vocab(w, vocab_limit, chunk)
-    wc = wp.reshape(nc, chunk, d)
+    logit_fn, xs, nc = _prep_head_stream(h, w, vocab_limit, chunk)
 
     def step(carry, w_chunk_and_idx):
         m, l, picked = carry
         w_chunk, c_idx = w_chunk_and_idx
-        s = _chunk_logits(h, w_chunk)                       # [N, C]
+        s = logit_fn(w_chunk)                               # [N, C]
         s = jnp.where(_valid_cols(c_idx, chunk, vocab_limit, n), s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new[:, None]), axis=1)
@@ -92,7 +140,7 @@ def _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk):
     init = (jnp.full((n,), -jnp.inf, jnp.float32),
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
-    (m, l, picked), _ = jax.lax.scan(step, init, (wc, jnp.arange(nc)))
+    (m, l, picked), _ = jax.lax.scan(step, init, (xs, jnp.arange(nc)))
     lse = m + jnp.log(l)
     return lse, picked
 
@@ -106,12 +154,12 @@ def _lse_gather_bwd(vocab_limit, chunk, res, g):
     h, w, ids, lse = res
     g_lse, g_picked = g  # [N], [N]
     n, d = h.shape
-    wp, nc = _pad_vocab(w, vocab_limit, chunk)
-    wc = wp.reshape(nc, chunk, d)
+    quant = isinstance(w, dict)
+    logit_fn, xs, nc = _prep_head_stream(h, w, vocab_limit, chunk)
 
     def step(dh, w_chunk_and_idx):
         w_chunk, c_idx = w_chunk_and_idx
-        s = _chunk_logits(h, w_chunk)
+        s = logit_fn(w_chunk)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # softmax chunk
         local = ids - c_idx * chunk
@@ -119,7 +167,15 @@ def _lse_gather_bwd(vocab_limit, chunk, res, g):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
                   == jnp.clip(local, 0, chunk - 1)[:, None]) & in_chunk[:, None]
         ds = g_lse[:, None] * p + g_picked[:, None] * onehot  # [N, C] fp32
-        dh = dh + jax.lax.dot(ds.astype(w_chunk.dtype), w_chunk,
+        if quant:
+            # dequantize the chunk for the dh matmul; no dw for int8 heads
+            # (they are frozen reference/teacher weights by construction)
+            wf = (w_chunk["w"].astype(jnp.bfloat16)
+                  * w_chunk["s"].astype(jnp.bfloat16)[:, None])
+            dh = dh + jax.lax.dot(ds.astype(jnp.bfloat16), wf,
+                                  preferred_element_type=jnp.float32)
+            return dh, jnp.zeros((), jnp.float32)
+        dh = dh + jax.lax.dot(ds.astype(w_chunk["w"].dtype), w_chunk["w"],
                               preferred_element_type=jnp.float32)
         dw_chunk = jax.lax.dot_general(
             ds.astype(h.dtype), h, (((0,), (0,)), ((), ())),
@@ -127,7 +183,9 @@ def _lse_gather_bwd(vocab_limit, chunk, res, g):
         return dh, dw_chunk
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32),
-                                 (wc, jnp.arange(nc)))
+                                 (xs, jnp.arange(nc)))
+    if quant:
+        return dh.astype(h.dtype), None, None
     dw = dw_chunks.reshape(nc * chunk, d)[:vocab_limit]
     pad_rows = w.shape[0] - vocab_limit
     if pad_rows > 0:
@@ -160,15 +218,14 @@ def _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk):
     """Streaming pass: lse_s, lse_t [N], and A = sum_v exp(t_v - m_t) * s_v."""
     n = h_s.shape[0]
     ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
     wsc = ws.reshape(nc, chunk, -1)
-    wtc = wt.reshape(nc, chunk, -1)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
 
     def step(carry, inputs):
         m_s, l_s, m_t, l_t, a = carry
-        ws_c, wt_c, c_idx = inputs
+        ws_c, t_c, c_idx = inputs
         s = _chunk_logits(h_s, ws_c)
-        t = _chunk_logits(h_t, wt_c)
+        t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         s = jnp.where(valid, s, -jnp.inf)
         t = jnp.where(valid, t, -jnp.inf)
@@ -187,7 +244,7 @@ def _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk):
             jnp.full((n,), -jnp.inf, jnp.float32), jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     (m_s, l_s, m_t, l_t, a), _ = jax.lax.scan(
-        step, init, (wsc, wtc, jnp.arange(nc)))
+        step, init, (wsc, t_xs, jnp.arange(nc)))
     lse_s = m_s + jnp.log(l_s)
     lse_t = m_t + jnp.log(l_t)
     # E_t[s] = A / l_t ;   loss_tok = lse_s - E_t[s]
@@ -211,15 +268,14 @@ def _kd_bwd(vocab_limit, chunk, res, g):
     h_s, w_s, h_t, w_t, weight, lse_s, lse_t = res
     n, d_s = h_s.shape
     ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
     wsc = ws.reshape(nc, chunk, -1)
-    wtc = wt.reshape(nc, chunk, -1)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
     coef = (g * weight)[:, None]  # [N, 1]
 
     def step(dh, inputs):
-        ws_c, wt_c, c_idx = inputs
+        ws_c, t_c, c_idx = inputs
         s = _chunk_logits(h_s, ws_c)
-        t = _chunk_logits(h_t, wt_c)
+        t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
         p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
@@ -232,7 +288,7 @@ def _kd_bwd(vocab_limit, chunk, res, g):
         return dh, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
-                                 (wsc, wtc, jnp.arange(nc)))
+                                 (wsc, t_xs, jnp.arange(nc)))
     dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
     pad_rows = w_s.shape[0] - vocab_limit
     if pad_rows > 0:
@@ -271,15 +327,14 @@ def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
                    vocab_limit, chunk):
     n = h_s.shape[0]
     ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
     wsc = ws.reshape(nc, chunk, -1)
-    wtc = wt.reshape(nc, chunk, -1)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
 
     def step(carry, inputs):
         m_s, l_s, m_t, l_t, a, picked = carry
-        ws_c, wt_c, c_idx = inputs
+        ws_c, t_c, c_idx = inputs
         s = _chunk_logits(h_s, ws_c)
-        t = _chunk_logits(h_t, wt_c)
+        t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         s = jnp.where(valid, s, -jnp.inf)
         t = jnp.where(valid, t, -jnp.inf)
@@ -308,7 +363,7 @@ def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     (m_s, l_s, m_t, l_t, a, picked), _ = jax.lax.scan(
-        step, init, (wsc, wtc, jnp.arange(nc)))
+        step, init, (wsc, t_xs, jnp.arange(nc)))
     lse_s = m_s + jnp.log(l_s)
     lse_t = m_t + jnp.log(l_t)
     kd = jnp.sum((lse_s - a / l_t) * kd_weight)
@@ -329,16 +384,15 @@ def _kdce_bwd(vocab_limit, chunk, res, g):
     g_kd, g_ce = g
     n, d_s = h_s.shape
     ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wt, _ = _pad_vocab(w_t, vocab_limit, chunk)
     wsc = ws.reshape(nc, chunk, -1)
-    wtc = wt.reshape(nc, chunk, -1)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
     coef_kd = (g_kd * kd_weight)[:, None]
     coef_ce = (g_ce * ce_weight)[:, None]
 
     def step(dh, inputs):
-        ws_c, wt_c, c_idx = inputs
+        ws_c, t_c, c_idx = inputs
         s = _chunk_logits(h_s, ws_c)
-        t = _chunk_logits(h_t, wt_c)
+        t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
         p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
@@ -355,7 +409,7 @@ def _kdce_bwd(vocab_limit, chunk, res, g):
         return dh, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
-                                 (wsc, wtc, jnp.arange(nc)))
+                                 (wsc, t_xs, jnp.arange(nc)))
     dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
     pad_rows = w_s.shape[0] - vocab_limit
     if pad_rows > 0:
@@ -389,7 +443,7 @@ def softmax_cross_entropy(hidden, w_head, labels, ignore_index: int = -100,
         hidden = hidden[:, :-1]
         labels = labels[:, 1:]
     b, t, d = hidden.shape
-    v = w_head.shape[0] if vocab_limit is None else vocab_limit
+    v = _head_rows(w_head) if vocab_limit is None else vocab_limit
     h = hidden.reshape(b * t, d)
     ids = labels.reshape(b * t)
     mask = (ids != ignore_index)
@@ -408,7 +462,8 @@ def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     token-mean over the response mask of -sum_v p_t(v) logp_s(v), with NO
     next-token shift (teacher and student are aligned position-wise)."""
     b, t, d_s = hidden_s.shape
-    v = min(w_head_s.shape[0], w_head_t.shape[0]) if vocab_limit is None else vocab_limit
+    v = (min(w_head_s.shape[0], _head_rows(w_head_t))
+         if vocab_limit is None else vocab_limit)
     h_s = hidden_s.reshape(b * t, d_s)
     h_t = hidden_t.reshape(b * t, hidden_t.shape[-1])
     if distill_all_tokens:
@@ -440,7 +495,8 @@ def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     both share the same [B*T] student logit stream (the last position's CE
     target is masked, matching the shift)."""
     b, t, d_s = hidden_s.shape
-    v = min(w_head_s.shape[0], w_head_t.shape[0]) if vocab_limit is None else vocab_limit
+    v = (min(w_head_s.shape[0], _head_rows(w_head_t))
+         if vocab_limit is None else vocab_limit)
     h_s = hidden_s.reshape(b * t, d_s)
     h_t = jax.lax.stop_gradient(hidden_t.reshape(b * t, hidden_t.shape[-1]))
     w_head_t = jax.lax.stop_gradient(w_head_t)
@@ -480,7 +536,7 @@ def sequence_log_prob(hidden, w_head, labels, ignore_index: int = -100,
     hidden = hidden[:, :-1]
     labels = labels[:, 1:]
     b, t, d = hidden.shape
-    v = w_head.shape[0] if vocab_limit is None else vocab_limit
+    v = _head_rows(w_head) if vocab_limit is None else vocab_limit
     h = hidden.reshape(b * t, d)
     ids = labels.reshape(b * t)
     mask = (ids != ignore_index)

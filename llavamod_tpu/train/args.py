@@ -129,7 +129,7 @@ class DPOArgs:
     moe_loss_enable: bool = False
     dpo_beta: float = 0.1
     dpo_label_smoothing: float = 0.0
-    ref_quant: str = ""                 # '' | 'int8' (W8A8 frozen ref model)
+    ref_quant: str = ""                 # '' | 'int8' | 'int8_head' (W8A8 ref)
 
 
 def _str2bool(v: str) -> bool:

@@ -64,9 +64,32 @@ def maybe_auto_resume(output_dir: str, template_state) -> Tuple[Any, Optional[st
 # reference-compatible projector export/import (mm_projector.bin)
 # ---------------------------------------------------------------------------
 
+_TREE_PREFIX = "model.mm_projector.tree."
+
+
+def _tree_key(key_path) -> str:
+    """Stable dotted key for a pytree leaf path (dict keys / list indices)."""
+    parts = []
+    for entry in key_path:
+        if hasattr(entry, "key"):
+            parts.append(str(entry.key))
+        elif hasattr(entry, "idx"):
+            parts.append(str(entry.idx))
+        else:  # pragma: no cover - future jax key types
+            parts.append(str(entry))
+    return ".".join(parts)
+
+
 def save_mm_projector(path: str, projector_params, projector_type: str = "mlp2x_gelu"):
     """Write a reference-layout mm_projector.bin (torch state dict with
-    'model.mm_projector.image_spatial_proj.<i>.{weight,bias}' keys)."""
+    'model.mm_projector.image_spatial_proj.<i>.{weight,bias}' keys).
+
+    linear / mlpNx_gelu use the reference's exact nn.Sequential key naming
+    (interchange with llava_trainer.py:256-275 checkpoints).  Every other
+    projector type (qformer/pool/simple) — which the reference also saves
+    with its own module-specific keys — is stored under a stable
+    'model.mm_projector.tree.<path>' flattening of our param tree; these
+    round-trip through load_mm_projector(..., template=...)."""
     import torch
 
     state = {}
@@ -84,17 +107,42 @@ def save_mm_projector(path: str, projector_params, projector_type: str = "mlp2x_
             state[prefix + ".bias"] = torch.tensor(
                 np.asarray(layer["bias"]).copy())
     else:
-        raise NotImplementedError(projector_type)
+        flat = jax.tree_util.tree_flatten_with_path(projector_params)[0]
+        for key_path, leaf in flat:
+            state[_TREE_PREFIX + _tree_key(key_path)] = torch.tensor(
+                np.asarray(leaf).copy())
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(state, path)
     return path
 
 
-def load_mm_projector(path: str, projector_type: str = "mlp2x_gelu"):
-    """Read a reference mm_projector.bin into our param layout."""
+def load_mm_projector(path: str, projector_type: str = "mlp2x_gelu",
+                      template=None):
+    """Read an mm_projector.bin into our param layout.
+
+    Reference linear/mlpNx checkpoints need no template; tree-flattened
+    checkpoints (qformer/pool/simple) need `template` = a freshly-initialized
+    projector param tree providing the structure to fill."""
     import torch
 
     from llavamod_tpu.interop.hf import projector_params_from_hf
 
     state = torch.load(path, map_location="cpu", weights_only=True)
+    if any(k.startswith(_TREE_PREFIX) for k in state):
+        if template is None:
+            raise ValueError(
+                f"mm_projector.bin for '{projector_type}' uses the tree "
+                "layout; pass template= (an initialized projector tree)")
+        import jax.numpy as jnp
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for key_path, leaf in flat:
+            t = state[_TREE_PREFIX + _tree_key(key_path)]
+            arr = jnp.asarray(np.asarray(t), dtype=leaf.dtype)
+            if arr.shape != leaf.shape:
+                raise ValueError(f"shape mismatch at {_tree_key(key_path)}: "
+                                 f"{arr.shape} vs template {leaf.shape}")
+            leaves.append(arr)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
     return projector_params_from_hf(state, projector_type)

@@ -139,7 +139,8 @@ def maybe_load_mm_adapter(params, path: Optional[str], projector_type: str):
     if path:
         from llavamod_tpu.train.checkpoint import load_mm_projector
 
-        params["projector"] = load_mm_projector(path, projector_type)
+        params["projector"] = load_mm_projector(
+            path, projector_type, template=params.get("projector"))
         rank0_print(f"[build] loaded mm projector from {path}")
     return params
 
@@ -482,12 +483,16 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             teacher_params = {k: v for k, v in teacher_params.items()
                               if k != "vision"}
         stage_args = salign or sdpo
-        if stage_args is not None and getattr(stage_args, "ref_quant", "") == "int8":
+        rq = getattr(stage_args, "ref_quant", "") if stage_args else ""
+        if rq in ("int8", "int8_head"):
             from llavamod_tpu.models.llm.decoder import quantize_decoder_int8
 
             teacher_params = dict(teacher_params)
-            teacher_params["llm"] = quantize_decoder_int8(teacher_params["llm"])
-            rank0_print("[build] teacher attention/MLP quantized to int8 (W8A8)")
+            teacher_params["llm"] = quantize_decoder_int8(
+                teacher_params["llm"], include_lm_head=(rq == "int8_head"))
+            rank0_print("[build] teacher attention/MLP quantized to int8 "
+                        "(W8A8)" + (" + int8 LM head" if rq == "int8_head"
+                                    else ""))
 
     # ---- state / step fn, under the (optional) mesh ----
     with _DeviceContext(targs) as dev:

@@ -135,3 +135,46 @@ def test_layernorm_parallel_block():
     ids = jnp.zeros((1, 4), jnp.int32)
     out = _fwd(params, ids, cfg=cfg)
     assert np.isfinite(np.asarray(out.hidden)).all()
+
+
+def test_dynamic_ntk_and_logn_identity_below_train_context():
+    """Qwen-1.0 long-context scaling (modeling_qwen.py:286-298,481-491) must
+    be a no-op while positions stay within rope_seq_length."""
+    cfg_q = CFG.replace(use_dynamic_ntk=True, use_logn_attn=True,
+                        rope_seq_length=64)
+    params = _params()
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, CFG.vocab_size)
+    base = decoder.forward(params, CFG, input_ids=ids).hidden
+    scaled = decoder.forward(params, cfg_q, input_ids=ids).hidden
+    np.testing.assert_allclose(np.asarray(base), np.asarray(scaled),
+                               rtol=0, atol=0)
+
+
+def test_dynamic_ntk_matches_manually_scaled_theta():
+    """Beyond the training context, dynamic NTK == a plain config whose
+    rope_theta is pre-multiplied by alpha^(r/(r-2))."""
+    l0, t = 8, 32
+    cfg_ntk = CFG.replace(use_dynamic_ntk=True, rope_seq_length=l0)
+    # expected alpha for true_len=32: ceil(log2(32/8)+1)=3 -> 2^3-1=7
+    rdim = CFG.rotary_dim
+    theta = CFG.rope_theta * 7.0 ** (rdim / (rdim - 2))
+    cfg_manual = CFG.replace(rope_theta=theta)
+    params = _params()
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, t), 0, CFG.vocab_size)
+    a = decoder.forward(params, cfg_ntk, input_ids=ids).hidden
+    b = decoder.forward(params, cfg_manual, input_ids=ids).hidden
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_logn_attn_scales_only_positions_past_train_context():
+    """logn query scaling is per-position: with causal attention, outputs at
+    positions < rope_seq_length are bit-identical to the unscaled model,
+    while later positions change."""
+    l0, t = 8, 32
+    cfg_logn = CFG.replace(use_logn_attn=True, rope_seq_length=l0)
+    params = _params()
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, t), 0, CFG.vocab_size)
+    base = np.asarray(decoder.forward(params, CFG, input_ids=ids).hidden)
+    got = np.asarray(decoder.forward(params, cfg_logn, input_ids=ids).hidden)
+    np.testing.assert_array_equal(base[:, :l0], got[:, :l0])
+    assert np.abs(base[:, l0 + 1:] - got[:, l0 + 1:]).max() > 1e-6

@@ -236,3 +236,60 @@ def test_fused_kd_ce_distill_all_tokens():
                         distill_all_tokens=True, chunk=16)
     assert float(out.kd_loss) == pytest.approx(float(ref.loss), rel=1e-5)
     assert float(out.kd_tokens) == b * t
+
+
+def test_int8_head_kd_and_lse_paths():
+    """int8-quantized teacher/ref LM head (decoder.quantize_head_int8 dict):
+    losses stay within ~1e-3 of the float head, student grads unaffected on
+    the CE side, teacher-side grad contribution within ~2% relative."""
+    from llavamod_tpu.models.llm.decoder import quantize_head_int8
+    from llavamod_tpu.ops.losses import chunked_kd_ce
+
+    rng = np.random.default_rng(0)
+    n, d_s, d_t, v = 64, 32, 48, 1000
+    h_s = jnp.asarray(rng.normal(size=(n, d_s)), jnp.float32)
+    w_s = jnp.asarray(rng.normal(size=(v, d_s)) * 0.3, jnp.float32)
+    h_t = jnp.asarray(rng.normal(size=(n, d_t)), jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(v, d_t)) * 0.3, jnp.float32)
+    weight = jnp.ones((n,), jnp.float32) / n
+    ids = jnp.asarray(rng.integers(0, 900, n), jnp.int32)
+    wq = quantize_head_int8(w_t)
+    assert wq["w_int8"].dtype == jnp.int8 and wq["scale"].shape == (v,)
+
+    f = lambda hs, wt: chunked_kd_cross_entropy(  # noqa: E731
+        hs, w_s, h_t, wt, weight, 950, 256)
+    l0, g0 = jax.value_and_grad(f)(h_s, w_t)
+    l1, g1 = jax.value_and_grad(f)(h_s, wq)
+    assert abs(float(l1 - l0)) / abs(float(l0)) < 1e-3
+    assert float(jnp.linalg.norm(g1 - g0) / jnp.linalg.norm(g0)) < 2e-2
+
+    kd0, ce0 = chunked_kd_ce(h_s, w_s, h_t, w_t, weight, weight, ids, 950, 256)
+    kd1, ce1 = chunked_kd_ce(h_s, w_s, h_t, wq, weight, weight, ids, 950, 256)
+    assert abs(float(kd1 - kd0)) / abs(float(kd0)) < 1e-3
+    assert float(ce1) == float(ce0)  # student-side CE is untouched
+
+    # ref-model path: lse/gather over an int8 head, incl. dh backward
+    g = lambda h, wt: jnp.sum(jnp.stack(  # noqa: E731
+        chunked_lse_and_gather(h, wt, ids, 950, 256)))
+    a0, d0 = jax.value_and_grad(g)(h_t, w_t)
+    a1, d1 = jax.value_and_grad(g)(h_t, wq)
+    assert abs(float(a1 - a0)) / abs(float(a0)) < 1e-3
+    assert float(jnp.linalg.norm(d1 - d0) / jnp.linalg.norm(d0)) < 2e-2
+
+
+def test_int8_head_logits_from_hidden():
+    """decoder.logits_from_hidden consumes the int8 head dict (serving path)."""
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    cfg = tiny_config(num_layers=1, hidden_size=32, intermediate_size=64,
+                      vocab_size=256)
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    hidden = _rand(2, 5, 32)
+    ref = decoder.logits_from_hidden(params, cfg, hidden)
+    qparams = decoder.quantize_decoder_int8(params, include_lm_head=True)
+    got = decoder.logits_from_hidden(qparams, cfg, hidden)
+    assert got.shape == ref.shape
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err < 0.05 * max(scale, 1.0)

@@ -137,3 +137,36 @@ def test_lora_peft_adapter_roundtrip(tmp_path):
     before = params["llm"]["layers"][0]["mlp"]["experts"]["up"]
     after = m1["llm"]["layers"][0]["mlp"]["experts"]["up"]
     assert float(jnp.abs(after - before).max()) > 0
+
+
+@pytest.mark.parametrize("ptype", ["qformer2_8", "cheap_qformer1_4",
+                                   "pool_mlp2x_gelu", "simple_in1_out1"])
+def test_mm_projector_bin_roundtrip_exotic_types(ptype, tmp_path):
+    """qformer/pool/simple projectors checkpoint through mm_projector.bin
+    (tree layout) and restore bit-exact given a template."""
+    from llavamod_tpu.train.checkpoint import load_mm_projector, save_mm_projector
+
+    proj = build_projector(ptype, 32, 48)
+    params = proj.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "mm_projector.bin")
+    save_mm_projector(path, params, ptype)
+    template = proj.init(jax.random.PRNGKey(7))  # different values, same tree
+    restored = load_mm_projector(path, ptype, template=template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored)
+    # restored tree drives the projector identically
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 144, 32))
+    np.testing.assert_array_equal(np.asarray(proj.apply(params, x)),
+                                  np.asarray(proj.apply(restored, x)))
+
+
+def test_mm_projector_bin_tree_layout_requires_template(tmp_path):
+    from llavamod_tpu.train.checkpoint import load_mm_projector, save_mm_projector
+
+    proj = build_projector("qformer1_4", 16, 24)
+    params = proj.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "mm_projector.bin")
+    save_mm_projector(path, params, "qformer1_4")
+    with pytest.raises(ValueError, match="template"):
+        load_mm_projector(path, "qformer1_4")
