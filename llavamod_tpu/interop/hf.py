@@ -187,6 +187,87 @@ def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.nda
     return out
 
 
+# Blip2Model submodule key map (reference multimodal_projector/qformer.py:9-24
+# wraps transformers Blip2QFormerModel as `qformer`, plus proj_in/proj_out
+# nn.Sequentials and the query_tokens parameter).  Our tree <-> those keys:
+_QF_DENSE_MAP = [
+    # (our params path inside a layer, HF key inside encoder.layer.{i}.)
+    (("self_attn", "q"), "attention.attention.query"),
+    (("self_attn", "k"), "attention.attention.key"),
+    (("self_attn", "v"), "attention.attention.value"),
+    (("self_attn", "o"), "attention.output.dense"),
+    (("cross_attn", "q"), "crossattention.attention.query"),
+    (("cross_attn", "k"), "crossattention.attention.key"),
+    (("cross_attn", "v"), "crossattention.attention.value"),
+    (("cross_attn", "o"), "crossattention.output.dense"),
+    (("mlp", "fc1"), "intermediate_query.dense"),
+    (("mlp", "fc2"), "output_query.dense"),
+]
+_QF_LN_MAP = [
+    (("ln_self",), "attention.output.LayerNorm"),
+    (("ln_cross",), "crossattention.output.LayerNorm"),
+    (("ln_mlp",), "output_query.LayerNorm"),
+]
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _qformer_params_to_hf(params: Params, base: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for name, seq_idx in (("fc1", 0), ("fc2", 2)):
+        for side in ("proj_in", "proj_out"):
+            p = params[side][name]
+            out[f"{base}{side}.{seq_idx}.weight"] = _t(p["kernel"])
+            out[f"{base}{side}.{seq_idx}.bias"] = _np(p["bias"])
+    out[base + "query_tokens"] = _np(params["queries"])[None]  # [1, Q, W]
+    out[base + "qformer.layernorm.weight"] = _np(params["ln_embed"]["weight"])
+    out[base + "qformer.layernorm.bias"] = _np(params["ln_embed"]["bias"])
+    for i, layer in enumerate(params["layers"]):
+        lp = f"{base}qformer.encoder.layer.{i}."
+        for path, hf in _QF_DENSE_MAP:
+            p = _tree_get(layer, path)
+            out[lp + hf + ".weight"] = _t(p["kernel"])
+            out[lp + hf + ".bias"] = _np(p["bias"])
+        for path, hf in _QF_LN_MAP:
+            p = _tree_get(layer, path)
+            out[lp + hf + ".weight"] = _np(p["weight"])
+            out[lp + hf + ".bias"] = _np(p["bias"])
+    return out
+
+
+def _qformer_params_from_hf(cleaned: Mapping[str, Any],
+                            num_layers: int) -> Params:
+    def dense(key):
+        return {"kernel": _t(cleaned[key + ".weight"]),
+                "bias": _np(cleaned[key + ".bias"])}
+
+    def ln(key):
+        return {"weight": _np(cleaned[key + ".weight"]),
+                "bias": _np(cleaned[key + ".bias"])}
+
+    layers = []
+    for i in range(num_layers):
+        lp = f"qformer.encoder.layer.{i}."
+        layer: Params = {"self_attn": {}, "cross_attn": {}, "mlp": {}}
+        for path, hf in _QF_DENSE_MAP:
+            node = _tree_get(layer, path[:-1])
+            node[path[-1]] = dense(lp + hf)
+        for path, hf in _QF_LN_MAP:
+            layer[path[0]] = ln(lp + hf)
+        layers.append(layer)
+    return {
+        "proj_in": {"fc1": dense("proj_in.0"), "fc2": dense("proj_in.2")},
+        "proj_out": {"fc1": dense("proj_out.0"), "fc2": dense("proj_out.2")},
+        "queries": _np(cleaned["query_tokens"])[0],
+        "ln_embed": ln("qformer.layernorm"),
+        "layers": layers,
+    }
+
+
 def projector_params_to_hf(params: Params,
                            projector_type: str = "mlp2x_gelu",
                            prefix: str = "model.mm_projector."
@@ -206,6 +287,8 @@ def projector_params_to_hf(params: Params,
             out[prefix + f"image_spatial_proj.{idx}.weight"] = _t(layer["kernel"])
             out[prefix + f"image_spatial_proj.{idx}.bias"] = _np(layer["bias"])
         return out
+    if re.match(r"^(cheap_)?qformer\d+_\d+$", projector_type):
+        return _qformer_params_to_hf(params, prefix + "image_spatial_proj.")
     raise NotImplementedError(
         f"HF export for projector '{projector_type}' not implemented")
 
@@ -346,5 +429,8 @@ def projector_params_from_hf(state: Mapping[str, Any],
             layers.append({"kernel": _t(cleaned[f"{idx}.weight"]),
                            "bias": _np(cleaned[f"{idx}.bias"])})
         return {"layers": layers}
+    m = re.match(r"^(cheap_)?qformer(\d+)_(\d+)$", projector_type)
+    if m:
+        return _qformer_params_from_hf(cleaned, int(m.group(2)))
     raise NotImplementedError(
         f"HF import for projector '{projector_type}' not implemented")

@@ -27,8 +27,17 @@ from llavamod_tpu.ops.norms import layer_norm
 
 Params = Dict[str, Any]
 
-_QF_MLP_RATIO = 2.6875  # reference qformer.py:112 ("intermediate_size")
-_QF_HEADS = 8
+_QF_MLP_RATIO = 2.6875  # reference qformer.py:107 ("intermediate_size")
+
+
+def _qf_heads(width: int) -> int:
+    """Blip2QFormer head count: the reference config pins 32 heads
+    (qformer.py:122 "num_attention_heads": 32); fall back to the largest
+    power-of-two divisor for toy widths that 32 doesn't divide."""
+    for h in (32, 16, 8, 4, 2):
+        if width % h == 0:
+            return h
+    return 1
 
 
 def _proj_mlp_init(key, din, dmid, dout, dtype):
@@ -94,20 +103,26 @@ def build_qformer_projector(spec: str, vision_dim: int, llm_dim: int,
         return {
             "proj_in": proj_in,
             "queries": jnp.zeros((num_queries, width), dtype),
+            # Blip2QFormerModel.layernorm: applied to the query embeddings
+            # before layer 0 (modeling_blip_2.py Blip2QFormerModel.forward)
+            "ln_embed": _ln_init(width, dtype),
             "layers": layers,
             "proj_out": proj_out,
         }
+
+    heads = _qf_heads(width)
 
     def apply(p, x):
         """x: [B, N, vision_dim] -> [B, Q, llm_dim]."""
         b = x.shape[0]
         img = _proj_mlp_apply(p["proj_in"], x)
         h = jnp.broadcast_to(p["queries"], (b,) + p["queries"].shape)
+        h = _ln(p["ln_embed"], h)
         for lp in p["layers"]:
             # post-LN (BERT) residual blocks, cross-attention every layer
-            h = _ln(lp["ln_self"], h + _attn_apply(lp["self_attn"], h, h, _QF_HEADS))
+            h = _ln(lp["ln_self"], h + _attn_apply(lp["self_attn"], h, h, heads))
             h = _ln(lp["ln_cross"],
-                    h + _attn_apply(lp["cross_attn"], h, img, _QF_HEADS))
+                    h + _attn_apply(lp["cross_attn"], h, img, heads))
             h = _ln(lp["ln_mlp"], h + _proj_mlp_apply(lp["mlp"], h))
         return _proj_mlp_apply(p["proj_out"], h)
 
@@ -176,7 +191,9 @@ def build_simple_projector(spec: str, vision_dim: int, llm_dim: int,
                            num_in: int, num_out: int,
                            cheap: bool = False) -> Projector:
     width = vision_dim if cheap else llm_dim
-    heads = 32
+    # reference SimpleBlock num_heads=32 (simple_block.py:40); divisor
+    # fallback keeps toy widths runnable
+    heads = _qf_heads(width)
     mlp_ratio = 4.0 if cheap else _QF_MLP_RATIO
 
     def init(key, dtype=jnp.float32):

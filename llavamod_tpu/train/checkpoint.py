@@ -85,14 +85,24 @@ def save_mm_projector(path: str, projector_params, projector_type: str = "mlp2x_
     'model.mm_projector.image_spatial_proj.<i>.{weight,bias}' keys).
 
     linear / mlpNx_gelu use the reference's exact nn.Sequential key naming
-    (interchange with llava_trainer.py:256-275 checkpoints).  Every other
-    projector type (qformer/pool/simple) — which the reference also saves
-    with its own module-specific keys — is stored under a stable
-    'model.mm_projector.tree.<path>' flattening of our param tree; these
+    (interchange with llava_trainer.py:256-275 checkpoints); qformer types
+    use the reference Blip2Model submodule keys (qformer.py:9-24, verified
+    against transformers' Blip2QFormerModel in tests/test_projectors_s2.py).
+    pool/simple types — reference-module-specific — are stored under a
+    stable 'model.mm_projector.tree.<path>' flattening of our param tree and
     round-trip through load_mm_projector(..., template=...)."""
     import torch
 
     state = {}
+    if re.match(r"^(cheap_)?qformer\d+_\d+$", projector_type):
+        from llavamod_tpu.interop.hf import projector_params_to_hf
+
+        arrays = projector_params_to_hf(projector_params, projector_type)
+        state = {k: torch.tensor(np.asarray(v).copy())
+                 for k, v in arrays.items()}
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        torch.save(state, path)
+        return path
     if projector_type == "linear":
         state["model.mm_projector.image_spatial_proj.weight"] = torch.tensor(
             np.asarray(projector_params["kernel"]).T.copy())
@@ -138,8 +148,11 @@ def load_mm_projector(path: str, projector_type: str = "mlp2x_gelu",
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
         for key_path, leaf in flat:
-            t = state[_TREE_PREFIX + _tree_key(key_path)]
-            arr = jnp.asarray(np.asarray(t), dtype=leaf.dtype)
+            t = np.asarray(state[_TREE_PREFIX + _tree_key(key_path)])
+            if not hasattr(leaf, "dtype"):  # python scalar leaf (bool flag)
+                leaves.append(type(leaf)(t.item()))
+                continue
+            arr = jnp.asarray(t, dtype=leaf.dtype)
             if arr.shape != leaf.shape:
                 raise ValueError(f"shape mismatch at {_tree_key(key_path)}: "
                                  f"{arr.shape} vs template {leaf.shape}")

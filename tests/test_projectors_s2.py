@@ -164,9 +164,72 @@ def test_mm_projector_bin_roundtrip_exotic_types(ptype, tmp_path):
 def test_mm_projector_bin_tree_layout_requires_template(tmp_path):
     from llavamod_tpu.train.checkpoint import load_mm_projector, save_mm_projector
 
-    proj = build_projector("qformer1_4", 16, 24)
+    proj = build_projector("pool_mlp2x_gelu", 16, 24)
     params = proj.init(jax.random.PRNGKey(0))
     path = str(tmp_path / "mm_projector.bin")
-    save_mm_projector(path, params, "qformer1_4")
+    save_mm_projector(path, params, "pool_mlp2x_gelu")
     with pytest.raises(ValueError, match="template"):
-        load_mm_projector(path, "qformer1_4")
+        load_mm_projector(path, "pool_mlp2x_gelu")
+
+
+def test_qformer_matches_transformers_blip2_oracle():
+    """Our qformer projector == the reference's Blip2Model compute
+    (multimodal_projector/qformer.py:9-60: proj_in -> Blip2QFormerModel
+    [32 heads, cross-attn every layer, 2.6875x GELU MLP, post-LN, input
+    layernorm] -> proj_out), weight-for-weight via the exported HF keys."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.blip_2.configuration_blip_2 import Blip2QFormerConfig
+    from transformers.models.blip_2.modeling_blip_2 import Blip2QFormerModel
+
+    from llavamod_tpu.interop.hf import projector_params_to_hf
+
+    vision_dim, llm_dim, n_layers, n_queries = 80, 64, 2, 8
+    spec = f"qformer{n_layers}_{n_queries}"
+    proj = build_projector(spec, vision_dim, llm_dim)
+    params = proj.init(jax.random.PRNGKey(3))
+    # non-trivial weights (init gives zero queries/biases)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape), params)
+
+    state = {k: torch.tensor(np.asarray(v).copy())
+             for k, v in projector_params_to_hf(params, spec, prefix="").items()}
+    strip = {k[len("image_spatial_proj."):]: v for k, v in state.items()}
+
+    qcfg = Blip2QFormerConfig(
+        hidden_size=llm_dim, num_hidden_layers=n_layers,
+        num_attention_heads=32, intermediate_size=int(llm_dim * 2.6875),
+        encoder_hidden_size=llm_dim, cross_attention_frequency=1,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0)
+    qf = Blip2QFormerModel(qcfg).eval()
+    qf_state = {k[len("qformer."):]: v for k, v in strip.items()
+                if k.startswith("qformer.")}
+    missing, unexpected = qf.load_state_dict(qf_state, strict=False)
+    # embeddings-only leftovers are fine; every attention/mlp/ln key must load
+    assert not unexpected, unexpected
+    assert all("embedding" in k or "position" in k for k in missing), missing
+
+    def seq(prefix, din, dmid, dout):
+        m = torch.nn.Sequential(torch.nn.Linear(din, dmid), torch.nn.GELU(),
+                                torch.nn.Linear(dmid, dout))
+        m[0].weight.data = strip[prefix + ".0.weight"]
+        m[0].bias.data = strip[prefix + ".0.bias"]
+        m[2].weight.data = strip[prefix + ".2.weight"]
+        m[2].bias.data = strip[prefix + ".2.bias"]
+        return m.eval()
+
+    proj_in = seq("proj_in", vision_dim, llm_dim, llm_dim)
+    proj_out = seq("proj_out", llm_dim, llm_dim, llm_dim)
+    query_tokens = strip["query_tokens"]
+
+    x = np.random.default_rng(0).normal(size=(2, 10, vision_dim)).astype(np.float32)
+    with torch.no_grad():
+        img = proj_in(torch.tensor(x))
+        q = query_tokens.expand(2, -1, -1)
+        hidden = qf(query_embeds=q, encoder_hidden_states=img,
+                    return_dict=True).last_hidden_state
+        expected = proj_out(hidden).numpy()
+
+    got = np.asarray(proj.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
