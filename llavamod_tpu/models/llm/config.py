@@ -71,6 +71,15 @@ class DecoderConfig:
     # DeepSpeed's semantics, where each DP rank gates only its local batch.
     moe_gating_group_size: int = 0
 
+    # --- parallelism strategy (activations) ---
+    # Sequence parallelism (Megatron-SP semantics, the SURVEY §2.10 stretch
+    # the reference lacks): constrain the [B, T, D] residual stream to be
+    # T-sharded over the mesh 'tensor' axis between blocks; GSPMD then emits
+    # all-gather before the TP matmuls and reduce-scatter after, so norms/
+    # residual memory scale 1/tp.  Requires an active mesh with a 'tensor'
+    # axis (set by the trainer, not by model presets).
+    seq_shard_activations: bool = False
+
     # --- compile strategy ---
     # lax.scan over (period-stacked) layers: one traced layer block instead of
     # num_layers inlined copies => ~L/period x faster XLA compiles.

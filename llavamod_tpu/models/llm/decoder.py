@@ -546,6 +546,21 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     return x, new_kv, aux, router_probs
 
 
+def _seq_constraint(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Sequence-parallel residual stream: [B, T, D] sharded T-over-'tensor'.
+
+    A pure sharding annotation — GSPMD inserts the all-gather before each
+    TP matmul and the reduce-scatter after (Megatron-SP communication
+    pattern), cutting norm/residual activation memory by the TP degree.
+    No-op unless cfg.seq_shard_activations (trainer-set, requires a mesh)."""
+    if not cfg.seq_shard_activations:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, P(("data", "fsdp"), "tensor", None))
+
+
 def _layer_kind(cfg: DecoderConfig, i: int) -> Tuple[bool, int]:
     """Structural signature of layer i: (is_moe, sliding-window phase)."""
     is_moe = cfg.is_moe and (i in cfg.moe_layers)
@@ -593,6 +608,7 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
             x, _, aux, probs = layer_forward(
                 cfg, rep_params[j],
                 x, positions, segment_ids, j, None, train, attn_impl)
+            x = _seq_constraint(cfg, x)
             aux_sum = aux_sum + aux
             if probs is not None:
                 probs_list.append(probs)
@@ -648,6 +664,8 @@ def forward(
         positions = jnp.broadcast_to(base, (b, t))
 
     x = inputs_embeds
+    if cache is None:
+        x = _seq_constraint(cfg, x)
 
     if cache is None and cfg.scan_layers and len(params["layers"]) > 1:
         x, aux_total, moe_losses, router_probs = _scan_layers(
@@ -671,6 +689,8 @@ def forward(
     for i, layer_params in enumerate(params["layers"]):
         x, kv, aux, probs = layer_fn(cfg, layer_params, x, positions,
                                      segment_ids, i, cache, train, attn_impl)
+        if cache is None:
+            x = _seq_constraint(cfg, x)
         aux_total = aux_total + aux
         if probs is not None:
             moe_losses.append(aux)

@@ -10,8 +10,12 @@ expert parallel over NCCL (SURVEY.md §2.10).  Here all parallelism is one
   tensor — tensor parallelism (attention heads / FFN hidden / vocab)
 
 The reference has no TP/PP (builder.py:382-383 comments out mp_size); TP
-comes for free here.  Multi-slice deployments put 'data' on DCN and the
-rest on ICI (axis order below keeps the ICI axes innermost/fastest).
+comes for free here.  Sequence parallelism (also absent upstream, SURVEY
+§2.10) rides the SAME 'tensor' axis: DecoderConfig.seq_shard_activations
+constrains the residual stream to be T-sharded between blocks and GSPMD
+emits the Megatron-SP all-gather/reduce-scatter pairs around the TP
+matmuls.  Multi-slice deployments put 'data' on DCN and the rest on ICI
+(axis order below keeps the ICI axes innermost/fastest).
 """
 
 from __future__ import annotations

@@ -95,10 +95,15 @@ class TrainArgs:
     compute_dtype: str = "bfloat16"
     remat: bool = True
     attn_impl: str = "auto"
-    vocab_chunk: int = 8192
+    vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     expert_parallel: int = 1            # mesh 'expert' axis size
     tensor_parallel: int = 1            # mesh 'tensor' axis size
     data_parallel: int = 1              # mesh 'data' axis size (rest -> fsdp)
+    # Sequence parallelism over the 'tensor' axis (Megatron-SP semantics via
+    # GSPMD sharding constraints): the [B, T, D] residual stream lives
+    # T-sharded, cutting norm/residual activation memory by tensor_parallel.
+    # Beyond-reference (SURVEY §2.10 lists SP as absent upstream).
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass
@@ -113,8 +118,10 @@ class AlignArgs:
     ref_pretrain_mm_mlp_adapter: Optional[str] = None
     moe_loss_enable: bool = False
     kd_vocab_limit: Optional[int] = None
-    # '' | 'int8' — run the frozen teacher's attention/MLP on the int8 MXU
-    # (W8A8, 2x bf16 peak; measured KD-loss delta ~5e-4, see BENCH_NOTES.md)
+    # '' | 'int8' | 'int8_head' — run the frozen teacher's attention/MLP
+    # (and with int8_head also its LM-head matmuls inside the chunked KD
+    # loss) on the int8 MXU (W8A8, 2x bf16 peak; measured KD-loss delta
+    # ~4e-4, see BENCH_NOTES.md)
     ref_quant: str = ""
 
 

@@ -51,7 +51,7 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     remat: bool = True
-    vocab_chunk: int = 8192
+    vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     attn_impl: str = "auto"                    # auto | flash | xla
     # Run the frozen vision tower once per step and feed both teacher and
     # student (valid because the tower is frozen and both sides start from

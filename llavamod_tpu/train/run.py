@@ -494,6 +494,14 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
                         "(W8A8)" + (" + int8 LM head" if rq == "int8_head"
                                     else ""))
 
+    if targs.sequence_parallel and targs.tensor_parallel > 1:
+        cfg = cfg.replace(llm=cfg.llm.replace(seq_shard_activations=True))
+        if teacher_cfg is not None:
+            teacher_cfg = teacher_cfg.replace(
+                llm=teacher_cfg.llm.replace(seq_shard_activations=True))
+        rank0_print("[mesh] sequence parallelism on: residual stream "
+                    f"T-sharded over tensor={targs.tensor_parallel}")
+
     # ---- state / step fn, under the (optional) mesh ----
     with _DeviceContext(targs) as dev:
         params = dev.shard_params(params)

@@ -32,4 +32,9 @@ python -m llavamod_tpu.train.align_train \
     --warmup_ratio 0.03 --lr_scheduler_type cosine \
     --logging_steps 1 --model_max_length 2048 \
     --group_by_modality_length true \
-    --dataloader_num_workers 8
+    --dataloader_num_workers 8 \
+    --ref_quant int8_head
+# perf notes (BENCH_NOTES.md): --ref_quant int8_head runs the frozen teacher
+# (incl. its LM-head matmuls inside the chunked KD loss) on the int8 MXU,
+# KD-loss delta ~4e-4.  On multi-chip meshes add e.g.
+#   --expert_parallel 2 --tensor_parallel 2 --sequence_parallel true
