@@ -27,6 +27,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _summarize_profile(profile_dir: str, top: int = 40):
+    """Aggregate device-plane op durations from the newest trace dump."""
+    import collections
+    import glob
+
+    import jax
+
+    files = sorted(glob.glob(os.path.join(
+        profile_dir, "**", "*.xplane.pb"), recursive=True))
+    if not files:
+        log("no xplane.pb produced; profiling unsupported on this backend")
+        return
+    data = jax.profiler.ProfileData.from_file(files[-1])
+    totals = collections.Counter()
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                ns = ev.duration_ns
+                totals[ev.name] += ns
+    log(f"== device op totals over 3 steps ({files[-1]})")
+    for name, ns in totals.most_common(top):
+        log(f"{ns / 1e6 / 3.0:9.3f} ms/step  {name[:110]}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -47,7 +73,8 @@ def main():
     # scoped-vmem limit in the embedding gather; B=4 needs remat (0.504).
     b = int(os.environ.get("BENCH_BATCH", "2"))
     t = int(os.environ.get("BENCH_SEQ", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))  # 30 amortizes the
+    # post-compile warmup on the remote backend (10 steps underreports ~2%)
     # bisection knobs (defaults = the full headline workload)
     attn = os.environ.get("BENCH_ATTN", "auto")          # auto|flash|xla
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -162,6 +189,16 @@ def main():
     jax.block_until_ready(metrics["loss"])
     log(f"compile+first step: {time.time() - t0:.1f}s  "
         f"loss={float(metrics['loss']):.4f}")
+
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        for _ in range(3):
+            state, metrics = step(state, teacher_params, batch)
+        float(metrics["loss"])  # force execution (block_until_ready lies
+        # on the remote backend - see BENCH_NOTES.md)
+        jax.profiler.stop_trace()
+        _summarize_profile(profile_dir)
 
     t0 = time.time()
     for _ in range(steps):
