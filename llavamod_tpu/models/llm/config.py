@@ -70,6 +70,11 @@ class DecoderConfig:
     # i.e. quadratic in tokens; fixed-size groups make it linear — and match
     # DeepSpeed's semantics, where each DP rank gates only its local batch.
     moe_gating_group_size: int = 0
+    # 'gather' (default): scatter/gather dispatch — O(E*C*D) data movement
+    # instead of the one-hot einsums' O(S*E*C*D) MXU work; bit-identical
+    # assignment (tests/test_ops_moe.py).  'einsum': the one-hot contraction
+    # (GSPMD lowers it to all-to-alls under an expert mesh).
+    moe_dispatch: str = "gather"
 
     # --- parallelism strategy (activations) ---
     # Sequence parallelism (Megatron-SP semantics, the SURVEY §2.10 stretch

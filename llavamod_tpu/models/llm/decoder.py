@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 from llavamod_tpu.models.llm.config import DecoderConfig
 from llavamod_tpu.ops.attention import dot_product_attention
-from llavamod_tpu.ops.moe import GatingConfig, moe_ffn, top_k_gating
+from llavamod_tpu.ops.moe import (
+    GatingConfig,
+    moe_ffn,
+    moe_ffn_gather,
+    moe_ffn_gather_grouped,
+    top_k_gating,
+    top_k_gating_compact,
+)
 from llavamod_tpu.ops.norms import layer_norm, rms_norm
 from llavamod_tpu.ops.rope import apply_rope, rope_table
 
@@ -334,23 +341,44 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     router_logits = xs.astype(jnp.float32) @ p["router"].astype(jnp.float32)
     tv = token_valid.reshape(b * t) if token_valid is not None else None
     expert_fn = functools.partial(_expert_mlp, cfg, p["experts"])
+    gather = cfg.moe_dispatch == "gather"
     group = cfg.moe_gating_group_size
     if group and b * t > group and (b * t) % group == 0:
-        y, aux, probs = _grouped_moe(cfg, gcfg, xs, router_logits, tv, train,
-                                     expert_fn, group)
+        if gather:
+            e = cfg.moe_num_experts
+            g = (b * t) // group
+            lg = router_logits.reshape(g, group, e)
+            tvg = (tv.reshape(g, group) if tv is not None
+                   else jnp.ones((g, group), bool))
+            comp = jax.vmap(lambda l, v: top_k_gating_compact(
+                l, gcfg, train=train, token_valid=v))(lg, tvg)
+            y = moe_ffn_gather_grouped(
+                xs, comp, e, gcfg.capacity(group, train), group, expert_fn)
+            aux = jnp.mean(comp.aux_loss)
+            probs = comp.router_probs.reshape(b * t, e)
+        else:
+            y, aux, probs = _grouped_moe(cfg, gcfg, xs, router_logits, tv,
+                                         train, expert_fn, group)
         if cfg.moe_use_residual:
             res = mlp_forward(cfg, p["residual_mlp"], xs)
             coef = jax.nn.softmax((xs @ p["coef"]).astype(jnp.float32), axis=-1)
             y = y * coef[:, :1].astype(y.dtype) + res * coef[:, 1:].astype(res.dtype)
         return y.reshape(b, t, d), aux, probs
-    gate = top_k_gating(router_logits, gcfg, train=train, token_valid=tv)
-    y = moe_ffn(xs, gate.dispatch, gate.combine,
-                functools.partial(_expert_mlp, cfg, p["experts"]))
+    if gather:
+        comp = top_k_gating_compact(router_logits, gcfg, train=train,
+                                    token_valid=tv)
+        y = moe_ffn_gather(xs, comp, cfg.moe_num_experts,
+                           gcfg.capacity(b * t, train), expert_fn)
+        aux, probs = comp.aux_loss, comp.router_probs
+    else:
+        gate = top_k_gating(router_logits, gcfg, train=train, token_valid=tv)
+        y = moe_ffn(xs, gate.dispatch, gate.combine, expert_fn)
+        aux, probs = gate.aux_loss, gate.router_probs
     if cfg.moe_use_residual:
         res = mlp_forward(cfg, p["residual_mlp"], xs)
         coef = jax.nn.softmax((xs @ p["coef"]).astype(jnp.float32), axis=-1)
         y = y * coef[:, :1].astype(y.dtype) + res * coef[:, 1:].astype(res.dtype)
-    return y.reshape(b, t, d), gate.aux_loss, gate.router_probs
+    return y.reshape(b, t, d), aux, probs
 
 
 def _alibi_slopes(num_heads: int) -> jnp.ndarray:

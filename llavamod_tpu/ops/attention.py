@@ -104,10 +104,20 @@ def dot_product_attention(
         impl = "flash" if use_flash else "xla"
 
     if impl == "flash":
-        from llavamod_tpu.ops.flash_attention import flash_attention
+        import os
 
+        from llavamod_tpu.ops.flash_attention import (
+            DEFAULT_BLOCK_K,
+            DEFAULT_BLOCK_Q,
+            flash_attention,
+        )
+
+        # tuning knobs (read at trace time): sweep block sizes per workload
+        bq = int(os.environ.get("LLAVAMOD_FLASH_BLOCK_Q", DEFAULT_BLOCK_Q))
+        bk = int(os.environ.get("LLAVAMOD_FLASH_BLOCK_K", DEFAULT_BLOCK_K))
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
-                               scale=scale, softcap=softcap)
+                               scale=scale, softcap=softcap,
+                               block_q=bq, block_k=bk)
 
     if segment_ids is not None:
         q_seg, kv_seg = segment_ids

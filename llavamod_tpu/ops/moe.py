@@ -53,18 +53,21 @@ class GatingOutput(NamedTuple):
     router_probs: jnp.ndarray  # [S, E] softmax gate probabilities
 
 
-def top_k_gating(
-    router_logits: jnp.ndarray,
-    cfg: GatingConfig,
-    *,
-    train: bool = True,
-    token_valid: Optional[jnp.ndarray] = None,
-) -> GatingOutput:
-    """router_logits: [S, E] (any float dtype; computed in fp32 here).
+class CompactGating(NamedTuple):
+    """Index/weight form of the same assignment (for gather dispatch).
+    The static capacity is NOT carried here (kept vmap-friendly) — callers
+    recover it via GatingConfig.capacity(group_tokens, train)."""
+    expert: jnp.ndarray       # [S, k] int32 — chosen expert per choice
+    slot: jnp.ndarray         # [S, k] int32 — capacity slot within expert
+    weight: jnp.ndarray       # [S, k] fp32 — renormalized gate (0 if dropped)
+    kept: jnp.ndarray         # [S, k] bool — survived the capacity drop
+    aux_loss: jnp.ndarray     # scalar
+    expert_load: jnp.ndarray  # [E]
+    router_probs: jnp.ndarray  # [S, E]
 
-    token_valid: optional [S] bool — padding tokens neither claim capacity
-    nor contribute to the aux loss.
-    """
+
+def _gating_core(router_logits, cfg: GatingConfig, train: bool, token_valid):
+    """Shared top-k + capacity bookkeeping (DeepSpeed top1/top2 semantics)."""
     s, e = router_logits.shape
     k = cfg.top_k
     cap = cfg.capacity(s, train)
@@ -117,17 +120,66 @@ def top_k_gating(
         denom = sum(kept_gate)
         denom = jnp.maximum(denom, jnp.finfo(jnp.float32).eps)
 
+    return dict(masks=masks, kept_masks=kept_masks, locations=locations,
+                kept_gate=kept_gate, denom=denom, aux=aux, ce=ce,
+                gates=gates, cap=cap, k=k, s=s, e=e)
+
+
+def top_k_gating(
+    router_logits: jnp.ndarray,
+    cfg: GatingConfig,
+    *,
+    train: bool = True,
+    token_valid: Optional[jnp.ndarray] = None,
+) -> GatingOutput:
+    """router_logits: [S, E] (any float dtype; computed in fp32 here).
+
+    token_valid: optional [S] bool — padding tokens neither claim capacity
+    nor contribute to the aux loss.
+    """
+    g = _gating_core(router_logits, cfg, train, token_valid)
+    s, e, cap, k = g["s"], g["e"], g["cap"], g["k"]
+
     combine = jnp.zeros((s, e, cap), jnp.float32)
     dispatch = jnp.zeros((s, e, cap), jnp.float32)
     for c in range(k):
-        pos = jnp.sum(locations[c] * kept_masks[c], axis=-1)  # [S]
+        pos = jnp.sum(g["locations"][c] * g["kept_masks"][c], axis=-1)  # [S]
         pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), cap, dtype=jnp.float32)
-        w = (kept_gate[c] / denom)[:, None, None]
-        contrib = kept_masks[c][:, :, None] * pos_oh[:, None, :]
+        w = (g["kept_gate"][c] / g["denom"])[:, None, None]
+        contrib = g["kept_masks"][c][:, :, None] * pos_oh[:, None, :]
         combine = combine + w * contrib
         dispatch = dispatch + contrib
 
-    return GatingOutput(jax.lax.stop_gradient(dispatch), combine, aux, ce, gates)
+    return GatingOutput(jax.lax.stop_gradient(dispatch), combine, g["aux"],
+                        g["ce"], g["gates"])
+
+
+def top_k_gating_compact(
+    router_logits: jnp.ndarray,
+    cfg: GatingConfig,
+    *,
+    train: bool = True,
+    token_valid: Optional[jnp.ndarray] = None,
+) -> CompactGating:
+    """Same assignment as top_k_gating, in index/weight form: O(S*k) data
+    instead of the [S, E, C] one-hots, consumed by moe_ffn_gather."""
+    g = _gating_core(router_logits, cfg, train, token_valid)
+    k = g["k"]
+    expert = jnp.stack(
+        [jnp.argmax(g["masks"][c], axis=-1).astype(jnp.int32)
+         for c in range(k)], axis=1)                              # [S, k]
+    slot = jnp.stack(
+        [jnp.sum(g["locations"][c] * g["kept_masks"][c],
+                 axis=-1).astype(jnp.int32) for c in range(k)], axis=1)
+    kept = jnp.stack(
+        [jnp.sum(g["kept_masks"][c], axis=-1) > 0 for c in range(k)], axis=1)
+    weight = jnp.stack(
+        [g["kept_gate"][c] / g["denom"] for c in range(k)], axis=1)
+    weight = weight * kept.astype(weight.dtype)
+    return CompactGating(jax.lax.stop_gradient(expert),
+                         jax.lax.stop_gradient(slot),
+                         weight, jax.lax.stop_gradient(kept),
+                         g["aux"], g["ce"], g["gates"])
 
 
 def moe_ffn(
@@ -144,3 +196,83 @@ def moe_ffn(
     xe = jnp.einsum("sec,sd->ecd", dispatch.astype(x.dtype), x)
     ye = expert_fn(xe)
     return jnp.einsum("sec,ecd->sd", combine.astype(ye.dtype), ye)
+
+
+def moe_ffn_gather(
+    x: jnp.ndarray,
+    gating: CompactGating,
+    num_experts: int,
+    capacity: int,
+    expert_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> jnp.ndarray:
+    """Same routing as moe_ffn, via gather/scatter instead of one-hot
+    einsums: the dispatch einsum costs O(S*E*C*D) MXU work, this moves
+    O(E*C*D) bytes.  Numerically identical assignment (same drops, same
+    renormalized weights; combine accumulates in fp32).
+
+    x: [S, D]; gating: CompactGating from top_k_gating_compact.
+    """
+    s, d = x.shape
+    e, cap = num_experts, capacity
+    k = gating.expert.shape[1]
+
+    flat = gating.expert * cap + gating.slot                 # [S, k]
+    flat = jnp.where(gating.kept, flat, e * cap)             # dropped -> OOB
+    flat_1d = flat.reshape(s * k)
+    token_ids = jnp.repeat(jnp.arange(s, dtype=jnp.int32), k)
+    # slot -> source token (distinct (expert, slot) per kept token by
+    # construction, so no scatter collisions; OOB rows are dropped)
+    src = jnp.zeros((e * cap,), jnp.int32).at[flat_1d].set(
+        token_ids, mode="drop")
+    filled = jnp.zeros((e * cap,), jnp.bool_).at[flat_1d].set(
+        True, mode="drop")
+
+    xe = jnp.where(filled[:, None], jnp.take(x, src, axis=0), 0)
+    ye = expert_fn(xe.reshape(e, cap, d)).reshape(e * cap, d)
+
+    picked = jnp.take(ye, jnp.minimum(flat, e * cap - 1).reshape(s * k),
+                      axis=0).reshape(s, k, d)
+    w = gating.weight.astype(jnp.float32)[..., None]         # 0 for dropped
+    y = jnp.sum(picked.astype(jnp.float32) * w, axis=1)
+    return y.astype(x.dtype)
+
+
+def moe_ffn_gather_grouped(
+    x: jnp.ndarray,
+    gating: CompactGating,
+    num_experts: int,
+    capacity: int,
+    group: int,
+    expert_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> jnp.ndarray:
+    """Gather dispatch for per-group gating (vmapped top_k_gating_compact):
+    gating fields are [G, group, k]; every expert sees the concatenation of
+    all groups' capacity rows ([E, G*C, D]), matching _grouped_moe's layout.
+
+    x: [G*group, D].  Returns [G*group, D]."""
+    s, d = x.shape
+    e, cap = num_experts, capacity
+    g_n, grp, k = gating.expert.shape
+    assert g_n * grp == s, (gating.expert.shape, s)
+    rows = g_n * cap  # capacity rows per expert across groups
+
+    g_idx = jnp.arange(g_n, dtype=jnp.int32)[:, None, None]
+    flat = gating.expert * rows + g_idx * cap + gating.slot   # [G, grp, k]
+    flat = jnp.where(gating.kept, flat, e * rows)             # dropped -> OOB
+    flat_1d = flat.reshape(-1)
+    token_ids = jnp.broadcast_to(
+        (g_idx * grp + jnp.arange(grp, dtype=jnp.int32)[None, :, None]),
+        flat.shape).reshape(-1)
+    src = jnp.zeros((e * rows,), jnp.int32).at[flat_1d].set(
+        token_ids, mode="drop")
+    filled = jnp.zeros((e * rows,), jnp.bool_).at[flat_1d].set(
+        True, mode="drop")
+
+    xe = jnp.where(filled[:, None], jnp.take(x, src, axis=0), 0)
+    ye = expert_fn(xe.reshape(e, rows, d)).reshape(e * rows, d)
+
+    picked = jnp.take(ye, jnp.minimum(flat, e * rows - 1).reshape(-1),
+                      axis=0).reshape(s, k, d)
+    w = gating.weight.astype(jnp.float32).reshape(s, k)[..., None]
+    y = jnp.sum(picked.astype(jnp.float32) * w, axis=1)
+    return y.astype(x.dtype)

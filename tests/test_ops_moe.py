@@ -1,5 +1,6 @@
 """Unit tests for top-k gating and MoE dispatch (DeepSpeed-parity semantics)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -165,3 +166,99 @@ def test_grouped_gating_capacity_is_per_group():
     y, aux, probs = decoder.moe_block_forward(cfg_g, params["layers"][0]["mlp"],
                                               x, True, None)
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestGatherDispatch:
+    """moe_ffn_gather(+_grouped) == the one-hot einsum path, bit-for-bit:
+    same drops, same renormalized weights, identical gradients."""
+
+    def _setup(self, s=64, e=4, d=16, k=2, seed=0):
+        from llavamod_tpu.ops.moe import GatingConfig
+
+        rng = np.random.default_rng(seed)
+        cfg = GatingConfig(num_experts=e, top_k=k, capacity_factor=1.2,
+                           min_capacity=4)
+        logits = jnp.asarray(rng.normal(size=(s, e)), jnp.float32) * 2
+        x = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        tv = jnp.asarray(rng.random(s) > 0.1)
+        w_up = jnp.asarray(rng.normal(size=(e, d, 32)) * 0.2, jnp.float32)
+        w_dn = jnp.asarray(rng.normal(size=(e, 32, d)) * 0.2, jnp.float32)
+
+        def expert_fn(xe):
+            h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w_up))
+            return jnp.einsum("ecf,efd->ecd", h, w_dn)
+
+        return cfg, logits, x, tv, expert_fn
+
+    @pytest.mark.parametrize("top_k", [1, 2])
+    def test_matches_einsum_path(self, top_k):
+        from llavamod_tpu.ops.moe import (moe_ffn, moe_ffn_gather,
+                                          top_k_gating, top_k_gating_compact)
+
+        import dataclasses
+
+        cfg, logits, x, tv, expert_fn = self._setup(k=top_k)
+        cfg = dataclasses.replace(cfg, top_k=top_k)
+
+        def f_ein(x, logits):
+            g = top_k_gating(logits, cfg, train=True, token_valid=tv)
+            return jnp.sum(moe_ffn(x, g.dispatch, g.combine, expert_fn))
+
+        def f_gat(x, logits):
+            c = top_k_gating_compact(logits, cfg, train=True, token_valid=tv)
+            return jnp.sum(moe_ffn_gather(
+                x, c, cfg.num_experts, cfg.capacity(x.shape[0], True),
+                expert_fn))
+
+        y0, g0 = jax.value_and_grad(f_ein, argnums=(0, 1))(x, logits)
+        y1, g1 = jax.value_and_grad(f_gat, argnums=(0, 1))(x, logits)
+        assert float(y0) == pytest.approx(float(y1), rel=1e-6)
+        np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                                   atol=1e-5)
+
+    def test_grouped_matches_einsum_layout(self):
+        from llavamod_tpu.ops.moe import (moe_ffn_gather_grouped,
+                                          top_k_gating, top_k_gating_compact)
+
+        cfg, logits, x, tv, expert_fn = self._setup()
+        g, grp, e = 2, 32, cfg.num_experts
+        lg = logits.reshape(g, grp, e)
+        tvg = tv.reshape(g, grp)
+        comp = jax.vmap(lambda l, v: top_k_gating_compact(
+            l, cfg, train=True, token_valid=v))(lg, tvg)
+        cap = cfg.capacity(grp, True)
+        got = moe_ffn_gather_grouped(x, comp, e, cap, grp, expert_fn)
+
+        gate = jax.vmap(lambda l, v: top_k_gating(
+            l, cfg, train=True, token_valid=v))(lg, tvg)
+        xg = x.reshape(g, grp, -1)
+        xe = jnp.einsum("gsec,gsd->gecd", gate.dispatch, xg)
+        xe = xe.transpose(1, 0, 2, 3).reshape(e, g * cap, -1)
+        ye = expert_fn(xe).reshape(e, g, cap, -1).transpose(1, 0, 2, 3)
+        ref = jnp.einsum("gsec,gecd->gsd", gate.combine, ye).reshape(
+            x.shape[0], -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def test_decoder_moe_block_gather_equals_einsum(self):
+        from llavamod_tpu.models.llm import decoder
+        from llavamod_tpu.models.llm.config import tiny_config
+        from llavamod_tpu.models.llm.upcycle import upcycle
+
+        cfg = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64,
+                          vocab_size=128)
+        params = decoder.init(cfg, jax.random.PRNGKey(0))
+        cfg_moe, params_moe = upcycle(cfg, params, moe_mode="sparse",
+                                      num_experts=4, top_k=2)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+        outs = {}
+        for mode in ("gather", "einsum"):
+            c = cfg_moe.replace(moe_dispatch=mode)
+            outs[mode] = decoder.forward(params_moe, c, input_ids=ids,
+                                         train=True)
+        np.testing.assert_allclose(np.asarray(outs["gather"].hidden),
+                                   np.asarray(outs["einsum"].hidden),
+                                   atol=1e-5)
+        assert float(outs["gather"].aux_loss) == pytest.approx(
+            float(outs["einsum"].aux_loss), rel=1e-6)
