@@ -178,6 +178,27 @@ def cmd_score(args) -> None:
         _dump_json(result, args.output)
 
 
+def cmd_baseline(args) -> None:
+    """Text-only baseline answers via an LLM API (reference
+    qa_baseline_gpt35.py).  Zero-egress default: requires --transport openai
+    (needs the openai package + network) or a stub for testing."""
+    from llavamod_tpu.eval.gpt_judge import openai_complete_fn, qa_baseline
+
+    questions = _load_jsonl(args.question_file)
+    if args.transport == "openai":
+        complete = openai_complete_fn(model=args.model,
+                                      max_tokens=args.max_tokens)
+    elif args.transport == "echo":  # offline smoke transport
+        complete = lambda text: f"[echo] {text}"  # noqa: E731
+    else:
+        raise SystemExit(f"unknown transport: {args.transport}")
+    rows = qa_baseline(questions, complete,
+                       model_id=f"{args.model}:baseline",
+                       max_workers=args.max_workers)
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+
+
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
@@ -185,6 +206,16 @@ def cmd_score(args) -> None:
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="llavamod_tpu.eval")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    bl = sub.add_parser("baseline", help="text-only LLM-API baseline answers")
+    bl.add_argument("--question-file", required=True)
+    bl.add_argument("--output", required=True)
+    bl.add_argument("--model", default="gpt-3.5-turbo")
+    bl.add_argument("--transport", default="openai",
+                    choices=["openai", "echo"])
+    bl.add_argument("--max-tokens", type=int, default=1024)
+    bl.add_argument("--max-workers", type=int, default=32)
+    bl.set_defaults(fn=cmd_baseline)
 
     g = sub.add_parser("generate", help="answer generation")
     g.add_argument("--task", default="generic",

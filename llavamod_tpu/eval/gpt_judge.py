@@ -203,6 +203,43 @@ def compute_chair(records: Sequence[dict]) -> Dict[str, Any]:
     }
 
 
+def qa_baseline(questions: Sequence[dict],
+                complete_fn: Callable[[str], str],
+                model_id: str = "gpt-3.5-turbo:20230327",
+                max_workers: int = 32,
+                retries: int = 3) -> List[dict]:
+    """Text-only baseline answer generation (reference
+    eval/qa_baseline_gpt35.py:16-74): thread-pooled completion per question,
+    up to `retries` attempts, '#ERROR#' sentinel on failure, rows sorted by
+    question_id.  Transport is the same injected `complete_fn` the judges
+    use ('You are a helpful assistant.' is the caller's concern there; here
+    the prompt is the raw question text, matching the reference)."""
+    import concurrent.futures
+    import uuid
+
+    def get_answer(qid, text):
+        row = {"answer_id": uuid.uuid4().hex[:22], "question_id": qid,
+               "model_id": model_id}
+        for _ in range(retries):
+            try:
+                row["text"] = complete_fn(text)
+                return row
+            except Exception as exc:  # noqa: BLE001 - reference behavior
+                print(f"[ERROR] {exc}")
+                row["text"] = "#ERROR#"
+                time.sleep(1)
+        return row
+
+    rows: List[dict] = []
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(get_answer, q["question_id"], q["text"])
+                for q in questions]
+        for f in concurrent.futures.as_completed(futs):
+            rows.append(f.result())
+    rows.sort(key=lambda r: r["question_id"])
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # optional OpenAI transport (reference get_eval, eval_gpt_review.py:13-36)
 # ---------------------------------------------------------------------------

@@ -82,3 +82,26 @@ def test_parse_object_list():
     assert parse_object_list('["Dog", "Tree"]') == ["dog", "tree"]
     assert parse_object_list("objects: dog, tree , car") == ["dog", "tree", "car"]
     assert parse_object_list("") == []
+
+
+def test_qa_baseline_threaded_generation():
+    """qa_baseline (reference qa_baseline_gpt35.py): per-question completion,
+    retry-to-sentinel on failure, question_id-sorted output."""
+    from llavamod_tpu.eval.gpt_judge import qa_baseline
+
+    calls = {}
+
+    def complete(text):
+        calls[text] = calls.get(text, 0) + 1
+        if "boom" in text:
+            raise RuntimeError("api down")
+        return f"answer to: {text}"
+
+    questions = [{"question_id": i, "text": f"q{i}"} for i in (3, 1, 2)]
+    questions.append({"question_id": 0, "text": "boom"})
+    rows = qa_baseline(questions, complete, max_workers=2, retries=2)
+    assert [r["question_id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["text"] == "#ERROR#"
+    assert calls["boom"] == 2  # retried
+    assert rows[1]["text"] == "answer to: q1"
+    assert all(r["model_id"] for r in rows)
