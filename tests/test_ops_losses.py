@@ -293,3 +293,31 @@ def test_int8_head_logits_from_hidden():
     err = float(jnp.max(jnp.abs(got - ref)))
     scale = float(jnp.max(jnp.abs(ref)))
     assert err < 0.05 * max(scale, 1.0)
+
+
+def test_int8_student_head_in_fused_kd_ce():
+    """int8 STUDENT head (frozen-head recipes): loss within ~1e-3 of the
+    float head; dh cotangent flows; dw cotangent is None (head frozen)."""
+    from llavamod_tpu.models.llm.decoder import quantize_head_int8
+    from llavamod_tpu.ops.losses import chunked_kd_ce
+
+    rng = np.random.default_rng(1)
+    n, d_s, d_t, v = 64, 32, 48, 1000
+    h_s = jnp.asarray(rng.normal(size=(n, d_s)), jnp.float32)
+    w_s = jnp.asarray(rng.normal(size=(v, d_s)) * 0.3, jnp.float32)
+    h_t = jnp.asarray(rng.normal(size=(n, d_t)), jnp.float32)
+    wtq = quantize_head_int8(
+        jnp.asarray(rng.normal(size=(v, d_t)) * 0.3, jnp.float32))
+    weight = jnp.ones((n,), jnp.float32) / n
+    ids = jnp.asarray(rng.integers(0, 900, n), jnp.int32)
+    wsq = quantize_head_int8(w_s)
+
+    def f(hs, ws):
+        kd, ce = chunked_kd_ce(hs, ws, h_t, wtq, weight, weight, ids, 950, 256)
+        return kd + ce
+
+    l0, g0 = jax.value_and_grad(f)(h_s, w_s)
+    l1, g1 = jax.value_and_grad(f)(h_s, wsq)
+    assert abs(float(l1 - l0)) / abs(float(l0)) < 1e-3
+    assert float(jnp.linalg.norm(g1 - g0) / jnp.linalg.norm(g0)) < 2e-2
+    assert np.all(np.isfinite(np.asarray(g1)))

@@ -217,3 +217,22 @@ def test_pretrain_stage_full_sft_when_flag_off(stage_dirs, tmp_path):
     before = np.asarray(params0["llm"]["layers"][0]["mlp"]["up"])
     after = np.asarray(params1["llm"]["layers"][0]["mlp"]["up"])
     assert np.abs(after - before).max() > 0  # LLM actually trained
+
+
+def test_policy_head_quant_requires_frozen_head():
+    """--policy_head_quant without explicit train_modules must refuse
+    (quantizing a trained head would silently stop its gradients)."""
+    from llavamod_tpu.train.args import (AlignArgs, ModelArgs, TrainArgs,
+                                         train_config_from_args)
+
+    with pytest.raises(ValueError, match="train_modules"):
+        train_config_from_args("align", TrainArgs(output_dir="/tmp/x"),
+                               total_steps=10,
+                               model_args=ModelArgs(),
+                               align=AlignArgs(policy_head_quant=True))
+    # with the recipe-of-record freeze list it passes through
+    tcfg = train_config_from_args(
+        "align", TrainArgs(output_dir="/tmp/x"), total_steps=10,
+        model_args=ModelArgs(train_modules=["mlp.gate_proj", "wg"]),
+        align=AlignArgs(policy_head_quant=True))
+    assert tcfg.student_head_quant
