@@ -45,14 +45,44 @@ def load_rules(path: Optional[str] = None) -> Dict[str, dict]:
 # ---------------------------------------------------------------------------
 
 def build_review_content(question: dict, ans1: dict, ans2: dict,
-                         rule: dict) -> str:
+                         rule: dict, context: Optional[str] = None) -> str:
     """The [Question]/[Assistant 1]/[Assistant 2]/[System] review prompt
-    (eval_gpt_review.py:93-97)."""
+    (eval_gpt_review.py:93-97); `context` prepends the [Context] block the
+    bench/visual variants use (eval_gpt_review_bench.py:96-101,
+    eval_gpt_review_visual.py:94-99)."""
     role = rule["role"]
-    return (f'[Question]\n{question["text"]}\n\n'
+    head = f"[Context]\n{context}\n\n" if context is not None else ""
+    return (head
+            + f'[Question]\n{question["text"]}\n\n'
             f'[{role} 1]\n{ans1["text"]}\n\n[End of {role} 1]\n\n'
             f'[{role} 2]\n{ans2["text"]}\n\n[End of {role} 2]\n\n'
             f'[System]\n{rule["prompt"]}\n\n')
+
+
+def review_context(question: dict, contexts: Dict[str, dict],
+                   variant: str) -> Tuple[Optional[str], str]:
+    """(context block, rule category) per review variant.
+
+      * 'default' — no context, category = question category or 'default'
+        (eval_gpt_review.py).
+      * 'bench'   — the image's caption(s), category prefixed with
+        'llava_bench_' (eval_gpt_review_bench.py:84-90).
+      * 'visual'  — captions + 'category: bbox' lines from the image's COCO
+        instances (eval_gpt_review_visual.py:84-93).
+    """
+    if variant == "default":
+        return None, question.get("category", "default")
+    inst = contexts[question["image"]]
+    if variant == "bench":
+        cap = inst["caption"]
+        cap_str = "\n".join(cap) if isinstance(cap, list) else cap
+        return cap_str, "llava_bench_" + question["category"]
+    if variant == "visual":
+        cap_str = "\n".join(inst["captions"])
+        box_str = "\n".join(f'{i["category"]}: {i["bbox"]}'
+                            for i in inst["instances"])
+        return f"{cap_str}\n\n{box_str}", question["category"]
+    raise ValueError(f"unknown review variant: {variant}")
 
 
 def parse_score_pair(review: str) -> List[float]:
@@ -70,16 +100,27 @@ def parse_score_pair(review: str) -> List[float]:
 def review_answers(questions: Sequence[dict], answers1: Sequence[dict],
                    answers2: Sequence[dict],
                    complete_fn: Callable[[str], str],
-                   rules: Optional[Dict[str, dict]] = None) -> List[dict]:
+                   rules: Optional[Dict[str, dict]] = None,
+                   contexts: Optional[Dict[str, dict]] = None,
+                   variant: str = "default",
+                   resume_rows: Optional[Sequence[dict]] = None) -> List[dict]:
     """Run the pairwise judge over aligned question/answer lists; returns
     the reviews-jsonl rows (id/question_id/answer ids/category/content/
-    tuple) the summarizer consumes."""
+    tuple) the summarizer consumes.
+
+    variant 'bench'/'visual' prepend the image-context block (requires
+    `contexts`: image name -> caption/instances record).  resume_rows
+    implements the variants' append-resume: the first len(resume_rows)
+    pairs are taken from the existing file instead of re-judged
+    (eval_gpt_review_bench.py:67-75,110-113)."""
     rules = rules or load_rules()
-    rows = []
+    rows = list(resume_rows or [])
     for idx, (q, a1, a2) in enumerate(zip(questions, answers1, answers2)):
-        category = q.get("category", "default")
+        if idx < len(rows):
+            continue  # already reviewed in a previous (interrupted) run
+        context, category = review_context(q, contexts or {}, variant)
         rule = rules.get(category, rules["default"])
-        content = build_review_content(q, a1, a2, rule)
+        content = build_review_content(q, a1, a2, rule, context=context)
         review = complete_fn(content)
         rows.append({
             "id": idx + 1,

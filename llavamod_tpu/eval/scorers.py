@@ -123,6 +123,111 @@ def score_science_qa(problems: Dict[str, dict], predictions: Dict[str, dict],
     }
 
 
+_SQA_ANSWER_RE = re.compile(r"The answer is ([A-Z]).")
+
+
+def _sqa_letter_or_failed(text: str) -> str:
+    """'The answer is X.' extraction; 'FAILED' when not exactly one match
+    (eval_science_qa_gpt4.py:60-70)."""
+    found = _SQA_ANSWER_RE.findall(text)
+    return found[0] if len(found) == 1 else "FAILED"
+
+
+def _sqa_pred_idx(letter: str, choices, options, rng) -> int:
+    """Letter -> choice index; random choice on FAILED/out-of-range
+    (eval_science_qa_gpt4.py get_pred_idx — reference uses an unseeded
+    random; pass rng for reproducibility)."""
+    if letter in options[: len(choices)]:
+        return options.index(letter)
+    return int(rng.integers(0, len(choices)))
+
+
+def score_sqa_vs_gpt4(problems: Dict[str, dict], split_indices,
+                      our_preds: Dict[str, dict], gpt4_outputs: Dict[str, str],
+                      options=_SQA_OPTIONS, seed: int = 0) -> Dict[str, float]:
+    """ScienceQA scored through GPT-4's answers with a model-ensemble
+    fallback (eval_science_qa_gpt4.py:83-104): when GPT-4 emits no parsable
+    answer, the model's prediction substitutes; correct_upperbound counts
+    either being right."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    correct = incorrect = upper = gpt4_failed = 0
+    for pid in split_indices:
+        prob = problems.get(pid)
+        if prob is None or pid not in our_preds or pid not in gpt4_outputs:
+            continue
+        ours = _sqa_letter_or_failed(our_preds[pid]["text"])
+        gpt4 = _sqa_letter_or_failed(gpt4_outputs[pid])
+        our_idx = _sqa_pred_idx(ours, prob["choices"], options, rng)
+        gpt4_idx = _sqa_pred_idx(gpt4, prob["choices"], options, rng)
+        if gpt4 == "FAILED":
+            gpt4_failed += 1
+            gpt4_idx = our_idx
+        if gpt4_idx == prob["answer"]:
+            correct += 1
+        else:
+            incorrect += 1
+        if gpt4_idx == prob["answer"] or our_idx == prob["answer"]:
+            upper += 1
+    total = max(correct + incorrect, 1)
+    return {"total": correct + incorrect, "correct": correct,
+            "accuracy": correct / total, "correct_upperbound": upper,
+            "upperbound_accuracy": upper / total, "gpt4_failed": gpt4_failed}
+
+
+def score_sqa_requery(problems: Dict[str, dict], split_indices,
+                      our_preds: Dict[str, dict],
+                      gpt4_outputs: Dict[str, str],
+                      requery_preds: Dict[str, dict],
+                      options=_SQA_OPTIONS, seed: int = 0):
+    """Requery-ensemble ScienceQA scoring
+    (eval_science_qa_gpt4_requery.py:60-120): the requery answer replaces
+    the model's where parsable; returns (metrics, per-problem result map)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = {k: 0 for k in ("total", "our_correct", "gpt4_correct",
+                        "gpt4_ourvisual_correct", "requery_correct",
+                        "gpt4_failed", "missing_requery")}
+    result_map: Dict[str, int] = {}
+    for pid in split_indices:
+        prob = problems.get(pid)
+        if prob is None or pid not in our_preds or pid not in gpt4_outputs:
+            continue
+        requery_text = requery_preds.get(pid, {}).get("text")
+        if requery_text is None:
+            m["missing_requery"] += 1
+            requery_text = "MISSING"
+        ours = _sqa_letter_or_failed(our_preds[pid]["text"])
+        gpt4 = _sqa_letter_or_failed(gpt4_outputs[pid])
+        requery = _sqa_letter_or_failed(requery_text)
+        our_idx = _sqa_pred_idx(ours, prob["choices"], options, rng)
+        gpt4_idx = _sqa_pred_idx(gpt4, prob["choices"], options, rng)
+        req_idx = _sqa_pred_idx(requery, prob["choices"], options, rng)
+        m["total"] += 1
+        if gpt4 == "FAILED":
+            m["gpt4_failed"] += 1
+            if gpt4_idx == prob["answer"]:
+                m["gpt4_correct"] += 1
+            if our_idx == prob["answer"]:
+                m["gpt4_ourvisual_correct"] += 1
+        elif gpt4_idx == prob["answer"]:
+            m["gpt4_correct"] += 1
+            m["gpt4_ourvisual_correct"] += 1
+        if our_idx == prob["answer"]:
+            m["our_correct"] += 1
+        if requery == "FAILED":
+            result_map[pid] = our_idx
+            if our_idx == prob["answer"]:
+                m["requery_correct"] += 1
+        else:
+            result_map[pid] = req_idx
+            if req_idx == prob["answer"]:
+                m["requery_correct"] += 1
+    return m, result_map
+
+
 # ---------------------------------------------------------------------------
 # TextVQA
 # ---------------------------------------------------------------------------

@@ -105,3 +105,72 @@ def test_qa_baseline_threaded_generation():
     assert calls["boom"] == 2  # retried
     assert rows[1]["text"] == "answer to: q1"
     assert all(r["model_id"] for r in rows)
+
+
+def test_review_variants_context_blocks():
+    """bench/visual review variants (eval_gpt_review_bench/visual.py):
+    [Context] block content and category naming."""
+    from llavamod_tpu.eval.gpt_judge import review_answers, review_context
+
+    q = {"question_id": 1, "text": "what?", "image": "img.jpg",
+         "category": "conv"}
+    contexts = {"img.jpg": {
+        "caption": ["a cat", "on a mat"],
+        "captions": ["a cat", "on a mat"],
+        "instances": [{"category": "cat", "bbox": [1, 2, 3, 4]}],
+    }}
+    ctx, cat = review_context(q, contexts, "bench")
+    assert ctx == "a cat\non a mat" and cat == "llava_bench_conv"
+    ctx, cat = review_context(q, contexts, "visual")
+    assert ctx == "a cat\non a mat\n\ncat: [1, 2, 3, 4]" and cat == "conv"
+    ctx, cat = review_context(q, contexts, "default")
+    assert ctx is None and cat == "conv"
+
+    seen = []
+
+    def complete(content):
+        seen.append(content)
+        return "5 4\nok"
+
+    rules = {"llava_bench_conv": {"role": "Assistant", "prompt": "judge!"},
+             "default": {"role": "Assistant", "prompt": "judge!"}}
+    a = {"question_id": 1, "answer_id": "x", "text": "A1"}
+    b = {"question_id": 1, "answer_id": "y", "text": "A2"}
+    rows = review_answers([q], [a], [b], complete, rules=rules,
+                          contexts=contexts, variant="bench")
+    assert seen[0].startswith("[Context]\na cat\non a mat\n\n[Question]")
+    assert rows[0]["tuple"] == [5.0, 4.0]
+    # resume: pre-existing rows are not re-judged
+    rows2 = review_answers([q], [a], [b], complete, rules=rules,
+                           contexts=contexts, variant="bench",
+                           resume_rows=rows)
+    assert rows2 == rows and len(seen) == 1
+
+
+def test_sqa_gpt4_ensemble_scorers():
+    """eval_science_qa_gpt4(.py/_requery.py) ensemble semantics."""
+    from llavamod_tpu.eval.scorers import score_sqa_requery, score_sqa_vs_gpt4
+
+    problems = {
+        "p1": {"choices": ["x", "y"], "answer": 0},
+        "p2": {"choices": ["x", "y", "z"], "answer": 2},
+        "p3": {"choices": ["x", "y"], "answer": 1},
+    }
+    split = ["p1", "p2", "p3"]
+    ours = {"p1": {"text": "The answer is A."},
+            "p2": {"text": "The answer is C."},
+            "p3": {"text": "The answer is A."}}
+    gpt4 = {"p1": "The answer is B.",   # wrong; ours right -> upperbound
+            "p2": "no idea",            # FAILED -> falls back to ours (right)
+            "p3": "The answer is B."}   # right; ours wrong
+    m = score_sqa_vs_gpt4(problems, split, ours, gpt4)
+    assert m["total"] == 3 and m["gpt4_failed"] == 1
+    assert m["correct"] == 2           # p2 via fallback, p3 via gpt4
+    assert m["correct_upperbound"] == 3
+
+    req = {"p1": {"text": "The answer is A."},  # fixes p1
+           "p3": {"text": "gibberish"}}          # FAILED -> ours (wrong)
+    m2, result_map = score_sqa_requery(problems, split, ours, gpt4, req)
+    assert m2["total"] == 3 and m2["missing_requery"] == 1
+    assert m2["our_correct"] == 2
+    assert result_map["p1"] == 0       # requery answer used
