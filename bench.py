@@ -107,10 +107,13 @@ def main():
     key = jax.random.PRNGKey(0)
     vis_cfg = CLIP_VIT_L_336
 
+    unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     student_llm = QWEN1_5_0_5B.replace(scan_layers=scan,
-                                       remat_policy=remat_policy)
+                                       remat_policy=remat_policy,
+                                       scan_unroll=unroll)
     teacher_llm = (QWEN1_5_1_8B if teacher_size == "1.8b"
-                   else QWEN1_5_0_5B).replace(scan_layers=scan)
+                   else QWEN1_5_0_5B).replace(scan_layers=scan,
+                                              scan_unroll=unroll)
     student_llava = LlavaConfig(llm=student_llm, vision=vis_cfg,
                                 projector_type="mlp2x_gelu", max_images=1)
     teacher_llava = LlavaConfig(llm=teacher_llm, vision=vis_cfg,

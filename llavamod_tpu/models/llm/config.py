@@ -89,6 +89,9 @@ class DecoderConfig:
     # lax.scan over (period-stacked) layers: one traced layer block instead of
     # num_layers inlined copies => ~L/period x faster XLA compiles.
     scan_layers: bool = True
+    # lax.scan unroll factor for the layer scan (>1 trades compile time for
+    # less per-iteration loop overhead)
+    scan_unroll: int = 1
     # remat policy inside the scanned block: 'none' recomputes everything
     # (min memory); 'dots' saves matmul outputs (jax dots_with_no_batch_dims
     # policy) trading HBM for less backward recompute.

@@ -651,7 +651,7 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
         block = jax.checkpoint(block, policy=policy)
 
     x, (aux_per_rep, probs_per_rep) = jax.lax.scan(
-        block, x, tuple(stacked))
+        block, x, tuple(stacked), unroll=max(1, cfg.scan_unroll))
     aux_total = jnp.sum(aux_per_rep)
     # probs_per_rep: [reps, moe_per_period, S, E] -> tuple per moe layer
     if probs_per_rep.shape[1] > 0:

@@ -33,8 +33,11 @@ python -m llavamod_tpu.train.align_train \
     --logging_steps 1 --model_max_length 2048 \
     --group_by_modality_length true \
     --dataloader_num_workers 8 \
-    --ref_quant int8_head
+    --ref_quant int8_head \
+    --policy_head_quant true
 # perf notes (BENCH_NOTES.md): --ref_quant int8_head runs the frozen teacher
-# (incl. its LM-head matmuls inside the chunked KD loss) on the int8 MXU,
-# KD-loss delta ~4e-4.  On multi-chip meshes add e.g.
+# (incl. its LM-head matmuls inside the chunked KD loss) on the int8 MXU
+# (KD-loss delta ~4e-4); --policy_head_quant also runs the FROZEN student
+# head W8A8 (+2%, loss delta ~1e-4; valid because train_modules above
+# freezes the head).  On multi-chip meshes add e.g.
 #   --expert_parallel 2 --tensor_parallel 2 --sequence_parallel true
