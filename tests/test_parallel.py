@@ -286,3 +286,25 @@ def test_moe_decode_on_mesh_matches_single_device():
         sb = batch_from_arrays(shard_batch(mesh, raw))
         sharded = generate(sp, cfg, sb, gcfg)
     np.testing.assert_array_equal(local, sharded)
+
+
+def test_generation_works_under_sequence_parallel_config():
+    """Serving with a training config that has seq_shard_activations on:
+    the prefill is T-sharded, the cached decode path skips the constraint
+    (decoder.forward applies _seq_constraint only when cache is None) —
+    greedy tokens must match the plain config."""
+    from llavamod_tpu.generation import GenerationConfig, generate
+    from llavamod_tpu.train.steps import batch_from_arrays
+
+    cfg, params = _tiny_llava(moe=True)
+    raw = _batch(cfg, b=2, t=16)
+    gcfg = GenerationConfig(max_new_tokens=6, temperature=0.0, pad_token_id=0)
+    plain = generate(params, cfg, batch_from_arrays(raw), gcfg)
+
+    sp_cfg = cfg.replace(llm=cfg.llm.replace(seq_shard_activations=True))
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, expert=2, tensor=2))
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, _tiny_llava(moe=True)[1])
+        sb = batch_from_arrays(shard_batch(mesh, raw))
+        got = generate(sp, sp_cfg, sb, gcfg)
+    np.testing.assert_array_equal(plain, got)
