@@ -195,6 +195,18 @@ def main():
         "labels": labels,
     })
 
+    # Optional XLA compiler options, e.g.
+    # BENCH_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=24576 — reaches the
+    # remote compile helper via PJRT compiler_options (XLA_FLAGS is parsed
+    # by the LOCAL cpu-client build, which rejects TPU-only flags).
+    copts_env = os.environ.get("BENCH_COMPILER_OPTS", "")
+    if copts_env:
+        copts = dict(kv.split("=", 1) for kv in copts_env.split(","))
+        log(f"AOT-compiling with compiler_options={copts}")
+        compiled = step.lower(state, teacher_params, batch).compile(
+            compiler_options=copts)
+        step = compiled
+
     log("compiling the distillation step (first call)...")
     t0 = time.time()
     state, metrics = step(state, teacher_params, batch)

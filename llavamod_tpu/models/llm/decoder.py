@@ -381,6 +381,16 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     return y.reshape(b, t, d), aux, probs
 
 
+# Selective remat: recompute ONLY the sparse-FFN block in the backward
+# (gating + dispatch + expert matmuls), keeping attention/norm activations
+# resident.  The expert intermediates are the dominant activation cost
+# (E*C = capacity_factor*k*S rows of [*, F] per MoE layer); this frees
+# ~85% of their memory for ~+1 expert-forward of recompute.  Enabled via
+# DecoderConfig.remat_policy == 'moe' (independent of full-layer remat).
+_moe_block_rematted = jax.checkpoint(moe_block_forward,
+                                     static_argnums=(0, 3))
+
+
 def _alibi_slopes(num_heads: int) -> jnp.ndarray:
     """Standard ALiBi head slopes (geometric 2^(-8i/H), press et al.)."""
     import math
@@ -546,6 +556,8 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     aux = jnp.zeros((), jnp.float32)
     router_probs = None
     token_valid = (segment_ids != 0) if segment_ids is not None else None
+    moe_fwd = (_moe_block_rematted if cfg.remat_policy == "moe"
+               else moe_block_forward)
 
     normed = _norm(cfg, p["input_norm"], x)
     attn_out, new_kv = attention_forward(cfg, p["attn"], normed, positions,
@@ -555,7 +567,7 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
 
     if cfg.parallel_block:
         if is_moe_layer:
-            mlp_out, aux, router_probs = moe_block_forward(
+            mlp_out, aux, router_probs = moe_fwd(
                 cfg, p["mlp"], normed, train, token_valid)
         else:
             mlp_out = mlp_forward(cfg, p["mlp"], normed)
@@ -564,7 +576,7 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         x = x + attn_out
         normed2 = _norm(cfg, p["post_attn_input_norm"], x)
         if is_moe_layer:
-            mlp_out, aux, router_probs = moe_block_forward(
+            mlp_out, aux, router_probs = moe_fwd(
                 cfg, p["mlp"], normed2, train, token_valid)
         else:
             mlp_out = mlp_forward(cfg, p["mlp"], normed2)

@@ -178,3 +178,27 @@ def test_logn_attn_scales_only_positions_past_train_context():
     got = np.asarray(decoder.forward(params, cfg_logn, input_ids=ids).hidden)
     np.testing.assert_array_equal(base[:, :l0], got[:, :l0])
     assert np.abs(base[:, l0 + 1:] - got[:, l0 + 1:]).max() > 1e-6
+
+
+def test_moe_remat_policy_is_value_and_grad_identical():
+    """remat_policy='moe' (checkpoint only the sparse-FFN block) must not
+    change values or gradients — it is purely a memory/recompute trade."""
+    cfg_moe, params_moe = None, None
+    base = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64,
+                       vocab_size=128)
+    params = decoder.init(base, jax.random.PRNGKey(0))
+    cfg_moe, params_moe = upcycle(base, params, moe_mode="sparse",
+                                  num_experts=4, top_k=2)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+
+    def loss(p, c):
+        out = decoder.forward(p, c, input_ids=ids, train=True)
+        return jnp.sum(out.hidden ** 2) + out.aux_loss
+
+    l0, g0 = jax.value_and_grad(loss)(params_moe, cfg_moe)
+    l1, g1 = jax.value_and_grad(loss)(
+        params_moe, cfg_moe.replace(remat_policy="moe"))
+    assert float(l0) == float(l1)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
