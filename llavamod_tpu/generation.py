@@ -60,27 +60,11 @@ def _sample(logits: jnp.ndarray, gcfg: GenerationConfig, key) -> jnp.ndarray:
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3))
-def _generate_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
-                  gcfg: GenerationConfig, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b, t = batch.input_ids.shape
-    total = t + gcfg.max_new_tokens
-    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-                   "int8": "int8"}[gcfg.cache_dtype]
-
-    # segment-aware positions: 0 at each sequence's first real token
-    seg = batch.segment_ids
-    positions = jnp.maximum(jnp.cumsum(seg, axis=1) - 1, 0)
-    prompt_len = jnp.sum(seg, axis=1)  # [B] real lengths
-
-    cache = decoder.init_cache(cfg.llm, b, total, dtype=cache_dtype)
-    out = llava.forward(params, cfg, batch._replace(positions=positions),
-                        cache=cache, train=False)
-    last_logits = llava.logits(params, cfg, out.hidden[:, -1:])[:, 0]
-
+def _stop_machinery(gcfg: GenerationConfig, b: int):
+    """(is_eos, push_window, window_stopped, win) closures for EOS ids and
+    multi-token stop sequences (KeywordsStoppingCriteria parity)."""
     eos = jnp.asarray(gcfg.eos_token_ids, jnp.int32) if gcfg.eos_token_ids \
         else jnp.zeros((0,), jnp.int32)
-    # rolling window of the last W generated tokens for multi-token stops
     win = max([len(s) for s in gcfg.stop_sequences], default=0)
     stops = [jnp.asarray(s, jnp.int32) for s in gcfg.stop_sequences]
 
@@ -103,50 +87,108 @@ def _generate_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
             hit = hit | jnp.all(tail == s[None, :], axis=1)
         return hit
 
+    return is_eos, push_window, window_stopped, win
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _prefill_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
+                 gcfg: GenerationConfig, rng):
+    """Jitted prefill: encode the multimodal prompt into a fresh cache and
+    sample the first token.  Returns (decode carry, prompt_len [B])."""
+    b, t = batch.input_ids.shape
+    total = t + gcfg.max_new_tokens
+    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                   "int8": "int8"}[gcfg.cache_dtype]
+
+    # segment-aware positions: 0 at each sequence's first real token
+    seg = batch.segment_ids
+    positions = jnp.maximum(jnp.cumsum(seg, axis=1) - 1, 0)
+    prompt_len = jnp.sum(seg, axis=1)  # [B] real lengths
+
+    cache = decoder.init_cache(cfg.llm, b, total, dtype=cache_dtype)
+    out = llava.forward(params, cfg, batch._replace(positions=positions),
+                        cache=cache, train=False)
+    last_logits = llava.logits(params, cfg, out.hidden[:, -1:])[:, 0]
+
+    is_eos, push_window, window_stopped, win = _stop_machinery(gcfg, b)
     rng0, rng_loop = jax.random.split(rng)
     first_tok = _sample(last_logits, gcfg, rng0)
     window0 = push_window(jnp.full((b, win), -1, jnp.int32), first_tok)
     done0 = is_eos(first_tok) | window_stopped(window0)
+    return (out.cache, first_tok, done0, window0, rng_loop), prompt_len
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _decode_chunk_jit(params, cfg: LlavaConfig, gcfg: GenerationConfig,
+                      chunk: int, carry, prompt_len, start):
+    """Jitted decode of `chunk` tokens from a carry.
+
+    `start` is a DEVICE scalar (the global decode-step offset) so successive
+    chunks reuse one compilation.  Returns (new carry, toks [B, chunk]) where
+    toks are the newly sampled tokens of this chunk.
+    """
+    b = prompt_len.shape[0]
+    is_eos, push_window, window_stopped, _ = _stop_machinery(gcfg, b)
 
     def body(carry, i):
         cache, tok, done, window, key = carry
         key, sub = jax.random.split(key)
-        step_batch = MultimodalBatch(
-            input_ids=tok[:, None],
-            segment_ids=jnp.ones((b, 1), jnp.int32),
-            image_mask=jnp.zeros((b, 1), bool),
-            image_pos=jnp.zeros((b, 1), jnp.int32),
-            pixels=jnp.zeros((b, 0) + batch.pixels.shape[2:], batch.pixels.dtype),
-            pixel_valid=jnp.zeros((b, 0), bool),
-            positions=(prompt_len + i)[:, None],
-        )
-        emb = decoder.embed(params["llm"], cfg.llm, step_batch.input_ids)
+        emb = decoder.embed(params["llm"], cfg.llm, tok[:, None])
         dout = decoder.forward(params["llm"], cfg.llm, inputs_embeds=emb,
-                               positions=step_batch.positions,
-                               segment_ids=step_batch.segment_ids,
+                               positions=(prompt_len + i)[:, None],
+                               segment_ids=jnp.ones((b, 1), jnp.int32),
                                cache=cache, train=False)
         logits = llava.logits(params, cfg, dout.hidden[:, -1:])[:, 0]
         nxt = _sample(logits, gcfg, sub)
         nxt = jnp.where(done, gcfg.pad_token_id, nxt)
         new_window = push_window(window, nxt)
         new_done = done | is_eos(nxt) | window_stopped(new_window)
-        return (dout.cache, nxt, new_done, new_window, key), tok
+        return (dout.cache, nxt, new_done, new_window, key), nxt
 
-    (cache, last_tok, done, _, _), toks = jax.lax.scan(
-        body, (out.cache, first_tok, done0, window0, rng_loop),
-        jnp.arange(gcfg.max_new_tokens))
-    # toks[i] is the token EMITTED at step i-1's carry => sequence of inputs;
-    # append the final carry token.
-    gen = jnp.concatenate([jnp.swapaxes(toks, 0, 1), last_tok[:, None]], axis=1)
-    return gen[:, :gcfg.max_new_tokens], done
+    carry, toks = jax.lax.scan(body, carry, start + jnp.arange(chunk))
+    return carry, jnp.swapaxes(toks, 0, 1)
 
 
 def generate(params, cfg: LlavaConfig, batch: MultimodalBatch,
              gcfg: GenerationConfig, rng=None) -> np.ndarray:
     """Returns generated ids [B, max_new_tokens] (pad after EOS)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    gen, _ = _generate_jit(params, cfg, batch, gcfg, rng)
+    carry, prompt_len = _prefill_jit(params, cfg, batch, gcfg, rng)
+    first_tok = carry[1]
+    parts = [first_tok[:, None]]
+    if gcfg.max_new_tokens > 1:
+        _, toks = _decode_chunk_jit(params, cfg, gcfg,
+                                    gcfg.max_new_tokens - 1, carry,
+                                    prompt_len, jnp.zeros((), jnp.int32))
+        parts.append(toks)
+    gen = jnp.concatenate(parts, axis=1)
     return truncate_at_stops(np.asarray(gen), gcfg)
+
+
+def generate_stream(params, cfg: LlavaConfig, batch: MultimodalBatch,
+                    gcfg: GenerationConfig, rng=None, chunk: int = 8):
+    """Incremental generation: yields np arrays [B, <=chunk] of newly decoded
+    ids as they are produced (TextStreamer parity with the reference
+    serve/cli.py:99-108), decoding in jitted chunks so the loop stays
+    compiled.  Stops early once every sequence hit EOS/a stop string.
+    The concatenation of all yields == generate(...) before stop-truncation
+    (identical RNG split order), so callers apply truncate_at_stops to the
+    accumulated ids for final text.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    carry, prompt_len = _prefill_jit(params, cfg, batch, gcfg, rng)
+    yield np.asarray(carry[1])[:, None]
+    produced = 1
+    start = jnp.zeros((), jnp.int32)
+    while produced < gcfg.max_new_tokens:
+        if bool(np.all(np.asarray(carry[2]))):  # all done
+            break
+        step = min(chunk, gcfg.max_new_tokens - produced)
+        carry, toks = _decode_chunk_jit(params, cfg, gcfg, step, carry,
+                                        prompt_len, start)
+        yield np.asarray(toks)
+        produced += step
+        start = start + step
 
 
 def truncate_at_stops(gen: np.ndarray, gcfg: GenerationConfig) -> np.ndarray:

@@ -33,30 +33,128 @@ def _t(x) -> np.ndarray:
     return _np(x).T
 
 
+# HF model_types whose config + state-dict layout we can convert.  Anything
+# else raises a ValueError up front instead of a KeyError mid-conversion.
+SUPPORTED_MODEL_TYPES = (
+    "qwen2", "llama", "mistral", "minicpm",          # llama-style layouts
+    "gemma2", "phi", "stablelm", "stablelm_epoch",   # llama keys, extra flags
+    "mpt", "qwen",                                   # fused-qkv layouts
+)
+
+
+def _moe_kwargs_from_hf(hf_config) -> dict:
+    """The reference's embedded `moe` config block (llava_qwen1_5_moe.py:48-81)."""
+    moe = getattr(hf_config, "moe", None)
+    if not (isinstance(moe, dict) and moe.get("moe_enable")):
+        return {}
+    num_experts = moe.get("num_experts", 4)
+    if isinstance(num_experts, (list, tuple)):
+        num_experts = num_experts[0]
+    return dict(
+        moe_num_experts=int(num_experts),
+        moe_top_k=int(moe.get("top_k_experts", 2)),
+        moe_capacity_factor=float(moe.get("capacity_factor", 1.5)),
+        moe_eval_capacity_factor=float(moe.get("eval_capacity_factor", 2.0)),
+        moe_min_capacity=int(moe.get("min_capacity", 4)),
+        moe_layers=tuple(moe.get("moe_layers_idx") or ()),
+        moe_use_residual=bool(moe.get("use_residual", False)),
+        router_aux_loss_coef=float(moe.get("router_aux_loss_coef", 0.01)),
+    )
+
+
 def decoder_config_from_hf(hf_config) -> DecoderConfig:
-    """Map an HF Qwen2/Llama/Mistral-style config to DecoderConfig,
-    including the reference's embedded `moe` block
+    """Map an HF config to DecoderConfig for every family the reference
+    vendors (SURVEY §2.7): qwen2/llama/mistral/minicpm/gemma2/phi/stablelm/
+    mpt/qwen-1.0, including the reference's embedded `moe` block
     (llava_qwen1_5_moe.py:48-81)."""
     mt = getattr(hf_config, "model_type", "llama")
-    qkv_bias = mt in ("qwen2",) or getattr(hf_config, "attention_bias", False)
-    kw = {}
-    moe = getattr(hf_config, "moe", None)
-    if isinstance(moe, dict) and moe.get("moe_enable"):
-        num_experts = moe.get("num_experts", 4)
-        if isinstance(num_experts, (list, tuple)):
-            num_experts = num_experts[0]
-        kw = dict(
-            moe_num_experts=int(num_experts),
-            moe_top_k=int(moe.get("top_k_experts", 2)),
-            moe_capacity_factor=float(moe.get("capacity_factor", 1.5)),
-            moe_eval_capacity_factor=float(
-                moe.get("eval_capacity_factor", 2.0)),
-            moe_min_capacity=int(moe.get("min_capacity", 4)),
-            moe_layers=tuple(moe.get("moe_layers_idx") or ()),
-            moe_use_residual=bool(moe.get("use_residual", False)),
-            router_aux_loss_coef=float(
-                moe.get("router_aux_loss_coef", 0.01)),
-        )
+    kw = _moe_kwargs_from_hf(hf_config)
+
+    if mt == "mpt":
+        # reference mpt/configuration_mpt.py: d_model/n_heads/n_layers,
+        # expansion_ratio, attn_config dict; ALiBi, LayerNorm, GELU, no rope.
+        attn_cfg = getattr(hf_config, "attn_config", None) or {}
+        if hasattr(attn_cfg, "alibi"):          # transformers MptAttentionConfig
+            alibi = bool(attn_cfg.alibi)
+        else:
+            alibi = bool(attn_cfg.get("alibi", True))
+        d = hf_config.d_model
+        return DecoderConfig(
+            name="hf-mpt", vocab_size=hf_config.vocab_size, hidden_size=d,
+            intermediate_size=d * getattr(hf_config, "expansion_ratio", 4),
+            num_layers=hf_config.n_layers, num_heads=hf_config.n_heads,
+            num_kv_heads=hf_config.n_heads,
+            max_position_embeddings=getattr(hf_config, "max_seq_len", 2048),
+            norm="layernorm",
+            layernorm_eps=getattr(hf_config, "layer_norm_epsilon", 1e-5),
+            activation="gelu", gated_mlp=False, use_rope=False, alibi=alibi,
+            tie_word_embeddings=True, **kw)
+
+    if mt == "qwen":
+        # qwen-1.0 (reference qwen/configuration_qwen.py + modeling_qwen.py):
+        # fused c_attn, halved fused MLP (w1/w2), RMSNorm, NTK + logn scaling.
+        return DecoderConfig(
+            name="hf-qwen", vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size // 2,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=getattr(hf_config, "seq_length", 8192),
+            rope_theta=getattr(hf_config, "rotary_emb_base", 1e4),
+            rms_norm_eps=getattr(hf_config, "layer_norm_epsilon", 1e-6),
+            qkv_bias=True,
+            use_dynamic_ntk=bool(getattr(hf_config, "use_dynamic_ntk", True)),
+            use_logn_attn=bool(getattr(hf_config, "use_logn_attn", True)),
+            rope_seq_length=getattr(hf_config, "seq_length", 8192), **kw)
+
+    if mt not in SUPPORTED_MODEL_TYPES:
+        raise ValueError(
+            f"Unsupported HF model_type {mt!r}; supported layouts: "
+            f"{', '.join(SUPPORTED_MODEL_TYPES)}")
+
+    # llama-style configs (model.layers.{i}.self_attn.* state dicts)
+    if mt == "gemma2":
+        kw.update(
+            head_dim=getattr(hf_config, "head_dim", None),
+            norm_offset=1.0, activation="gelu_tanh",
+            attn_logit_softcap=getattr(hf_config, "attn_logit_softcapping", 50.0),
+            final_logit_softcap=getattr(hf_config, "final_logit_softcapping", 30.0),
+            query_pre_attn_scalar=float(
+                getattr(hf_config, "query_pre_attn_scalar", 256)),
+            post_attn_norm=True, post_mlp_norm=True,
+            embed_scale=hf_config.hidden_size ** 0.5,
+            sliding_window=getattr(hf_config, "sliding_window", None),
+            sliding_window_pattern=2)
+    elif mt == "phi":
+        kw.update(
+            norm="layernorm",
+            layernorm_eps=getattr(hf_config, "layer_norm_eps", 1e-5),
+            activation="gelu_tanh", gated_mlp=False, parallel_block=True,
+            o_bias=True, mlp_bias=True, lm_head_bias=True,
+            partial_rotary_factor=getattr(hf_config, "partial_rotary_factor", 0.5))
+    elif mt in ("stablelm", "stablelm_epoch"):
+        kw.update(
+            norm="layernorm",
+            layernorm_eps=getattr(hf_config, "layer_norm_eps",
+                                  getattr(hf_config, "norm_eps", 1e-5)),
+            partial_rotary_factor=getattr(
+                hf_config, "partial_rotary_factor",
+                getattr(hf_config, "rope_pct", 1.0)))
+    elif mt == "minicpm":
+        hs = hf_config.hidden_size
+        kw.update(
+            embed_scale=float(getattr(hf_config, "scale_emb", 1)),
+            residual_scale=(float(getattr(hf_config, "scale_depth", 1))
+                            / hf_config.num_hidden_layers ** 0.5),
+            logit_scale=float(getattr(hf_config, "dim_model_base", hs)) / hs)
+    elif mt == "mistral":
+        kw.setdefault("sliding_window",
+                      getattr(hf_config, "sliding_window", None))
+
+    qkv_bias = (mt in ("qwen2", "phi")
+                or getattr(hf_config, "attention_bias", False)
+                or getattr(hf_config, "use_qkv_bias", False))
     return DecoderConfig(
         name=f"hf-{mt}",
         vocab_size=hf_config.vocab_size,
@@ -64,8 +162,8 @@ def decoder_config_from_hf(hf_config) -> DecoderConfig:
         intermediate_size=hf_config.intermediate_size,
         num_layers=hf_config.num_hidden_layers,
         num_heads=hf_config.num_attention_heads,
-        num_kv_heads=getattr(hf_config, "num_key_value_heads",
-                             hf_config.num_attention_heads),
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+        or hf_config.num_attention_heads,
         max_position_embeddings=hf_config.max_position_embeddings,
         rope_theta=getattr(hf_config, "rope_theta", 1e4),
         rms_norm_eps=getattr(hf_config, "rms_norm_eps", 1e-6),
@@ -77,27 +175,71 @@ def decoder_config_from_hf(hf_config) -> DecoderConfig:
 
 def decoder_params_from_hf(state: Mapping[str, Any], cfg: DecoderConfig,
                            prefix: str = "") -> Params:
-    """Convert an HF CausalLM state dict (Qwen2/Llama/Mistral layout)."""
+    """Convert an HF CausalLM state dict to our decoder pytree.
+
+    Dispatches on the state-dict layout: llama-style `model.layers.*`
+    (qwen2/llama/mistral/minicpm + gemma2/phi/stablelm variants via cfg
+    flags), qwen-1.0 `transformer.h.*` fused c_attn, and MPT
+    `transformer.blocks.*` fused Wqkv.  Unknown layouts raise ValueError.
+    """
+    if (prefix + "transformer.h.0.attn.c_attn.weight") in state:
+        return _decoder_params_from_hf_qwen_v1(state, cfg, prefix)
+    if (prefix + "transformer.blocks.0.attn.Wqkv.weight") in state:
+        return _decoder_params_from_hf_mpt(state, cfg, prefix)
+    if (prefix + "model.layers.0.input_layernorm.weight") not in state:
+        known = sorted({k.split(".")[0] for k in state})[:8]
+        raise ValueError(
+            "Unrecognized HF state-dict layout (top-level keys "
+            f"{known}); supported model types: "
+            f"{', '.join(SUPPORTED_MODEL_TYPES)}")
+    return _decoder_params_from_hf_llama(state, cfg, prefix)
+
+
+def _norm_from_hf(state: Mapping[str, Any], key: str) -> Params:
+    """Norm params; includes the bias when the checkpoint has one
+    (stablelm/phi LayerNorm; MPT/qwen/llama norms are weight-only)."""
+    p = {"weight": _np(state[key + ".weight"])}
+    if (key + ".bias") in state:
+        p["bias"] = _np(state[key + ".bias"])
+    return p
+
+
+def _decoder_params_from_hf_llama(state: Mapping[str, Any], cfg: DecoderConfig,
+                                  prefix: str = "") -> Params:
+    """llama-style layouts: qwen2/llama/mistral/minicpm, plus phi (parallel
+    block, `dense`/`fc1/fc2` names, reference phi/modeling_phi.py:203-265),
+    gemma2 (4 norms/layer, reference gemma2/modeling_gemma2.py:537-542), and
+    stablelm (LayerNorm biases, stablelm/modeling_stablelm_epoch.py:491-497)."""
     def g(key):
         return state[prefix + key]
 
+    def norm(key):
+        return _norm_from_hf(state, prefix + key)
+
+    is_phi = cfg.parallel_block
+    final_key = ("model.final_layernorm"
+                 if (prefix + "model.final_layernorm.weight") in state
+                 else "model.norm")
     params: Params = {
         "embed": {"embedding": _np(g("model.embed_tokens.weight"))},
         "layers": [],
-        "final_norm": {"weight": _np(g("model.norm.weight"))},
+        "final_norm": norm(final_key),
     }
+    o_name = "self_attn.dense" if is_phi else "self_attn.o_proj"
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
         attn = {
             "wq": _t(g(p + "self_attn.q_proj.weight")),
             "wk": _t(g(p + "self_attn.k_proj.weight")),
             "wv": _t(g(p + "self_attn.v_proj.weight")),
-            "wo": _t(g(p + "self_attn.o_proj.weight")),
+            "wo": _t(g(p + o_name + ".weight")),
         }
         if cfg.qkv_bias:
             attn["bq"] = _np(g(p + "self_attn.q_proj.bias"))
             attn["bk"] = _np(g(p + "self_attn.k_proj.bias"))
             attn["bv"] = _np(g(p + "self_attn.v_proj.bias"))
+        if cfg.o_bias:
+            attn["bo"] = _np(g(p + o_name + ".bias"))
         if (prefix + p + "mlp.deepspeed_moe.gate.wg.weight") in state:
             # reference MoE checkpoint (deepspeed.moe layer naming,
             # llava_qwen1_5_moe.py:534-546 / train.py:549-557 save flavor)
@@ -120,47 +262,172 @@ def decoder_params_from_hf(state: Mapping[str, Any], cfg: DecoderConfig,
                     "up": _t(g(p + "mlp.mlp.up_proj.weight")),
                     "down": _t(g(p + "mlp.mlp.down_proj.weight"))}
                 mlp["coef"] = _t(g(p + "mlp.coefficient.weight"))
+        elif is_phi:
+            # phi MLP: fc1/fc2 with biases, no gate
+            mlp = {"up": _t(g(p + "mlp.fc1.weight")),
+                   "down": _t(g(p + "mlp.fc2.weight"))}
+            if cfg.mlp_bias:
+                mlp["up_bias"] = _np(g(p + "mlp.fc1.bias"))
+                mlp["down_bias"] = _np(g(p + "mlp.fc2.bias"))
         else:
             mlp = {
-                "gate": _t(g(p + "mlp.gate_proj.weight")),
                 "up": _t(g(p + "mlp.up_proj.weight")),
                 "down": _t(g(p + "mlp.down_proj.weight")),
             }
+            if cfg.gated_mlp:
+                mlp["gate"] = _t(g(p + "mlp.gate_proj.weight"))
         layer = {
-            "input_norm": {"weight": _np(g(p + "input_layernorm.weight"))},
+            "input_norm": norm(p + "input_layernorm"),
             "attn": attn,
-            "post_attn_input_norm": {
-                "weight": _np(g(p + "post_attention_layernorm.weight"))},
             "mlp": mlp,
         }
+        if cfg.post_attn_norm:
+            # gemma2: post_attention_layernorm normalizes the attn OUTPUT;
+            # pre_feedforward_layernorm is the pre-MLP norm
+            # (reference gemma2/modeling_gemma2.py:570-598)
+            layer["post_attn_norm"] = norm(p + "post_attention_layernorm")
+            layer["post_attn_input_norm"] = norm(
+                p + "pre_feedforward_layernorm")
+        elif not cfg.parallel_block:
+            layer["post_attn_input_norm"] = norm(
+                p + "post_attention_layernorm")
+        if cfg.post_mlp_norm:
+            layer["post_mlp_norm"] = norm(p + "post_feedforward_layernorm")
         params["layers"].append(layer)
     if not cfg.tie_word_embeddings and (prefix + "lm_head.weight") in state:
+        params["lm_head"] = {"weight": _np(g("lm_head.weight"))}
+        if cfg.lm_head_bias and (prefix + "lm_head.bias") in state:
+            params["lm_head"]["bias"] = _np(g("lm_head.bias"))
+    return params
+
+
+def _decoder_params_from_hf_qwen_v1(state: Mapping[str, Any],
+                                    cfg: DecoderConfig,
+                                    prefix: str = "") -> Params:
+    """qwen-1.0 layout (reference qwen/modeling_qwen.py): fused
+    `attn.c_attn` [3D, D] weight + [3D] bias split into q/k/v (:269,416-418),
+    MLP halves w1=up, w2=gate — `intermediate = w1(x) * silu(w2(x))`
+    (:570-575) — RMSNorm ln_1/ln_2, transformer.wte embedding."""
+    def g(key):
+        return state[prefix + key]
+
+    d = cfg.hidden_size
+    params: Params = {
+        "embed": {"embedding": _np(g("transformer.wte.weight"))},
+        "layers": [],
+        "final_norm": _norm_from_hf(state, prefix + "transformer.ln_f"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.h.{i}."
+        w = _np(g(p + "attn.c_attn.weight"))   # [3D, D] torch layout
+        b = _np(g(p + "attn.c_attn.bias"))     # [3D]
+        attn = {
+            "wq": w[:d].T, "wk": w[d:2 * d].T, "wv": w[2 * d:].T,
+            "bq": b[:d], "bk": b[d:2 * d], "bv": b[2 * d:],
+            "wo": _t(g(p + "attn.c_proj.weight")),
+        }
+        mlp = {
+            "up": _t(g(p + "mlp.w1.weight")),
+            "gate": _t(g(p + "mlp.w2.weight")),
+            "down": _t(g(p + "mlp.c_proj.weight")),
+        }
+        params["layers"].append({
+            "input_norm": _norm_from_hf(state, prefix + p + "ln_1"),
+            "attn": attn,
+            "post_attn_input_norm": _norm_from_hf(state, prefix + p + "ln_2"),
+            "mlp": mlp,
+        })
+    if (prefix + "lm_head.weight") in state:
         params["lm_head"] = {"weight": _np(g("lm_head.weight"))}
     return params
 
 
+def _decoder_params_from_hf_mpt(state: Mapping[str, Any], cfg: DecoderConfig,
+                                prefix: str = "") -> Params:
+    """MPT layout (reference mpt/attention.py:169-189, blocks.py:12-40):
+    fused `attn.Wqkv` [3D, D] split at (D, 2D), `attn.out_proj`,
+    `ffn.up_proj/down_proj`, weight-only LayerNorms norm_1/norm_2/norm_f,
+    tied `transformer.wte` head."""
+    def g(key):
+        return state[prefix + key]
+
+    d = cfg.hidden_size
+    params: Params = {
+        "embed": {"embedding": _np(g("transformer.wte.weight"))},
+        "layers": [],
+        "final_norm": _norm_from_hf(state, prefix + "transformer.norm_f"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.blocks.{i}."
+        w = _np(g(p + "attn.Wqkv.weight"))  # [3D, D]
+        attn = {"wq": w[:d].T, "wk": w[d:2 * d].T, "wv": w[2 * d:].T,
+                "wo": _t(g(p + "attn.out_proj.weight"))}
+        if (prefix + p + "attn.Wqkv.bias") in state:
+            b = _np(g(p + "attn.Wqkv.bias"))
+            attn["bq"], attn["bk"], attn["bv"] = b[:d], b[d:2 * d], b[2 * d:]
+        mlp = {"up": _t(g(p + "ffn.up_proj.weight")),
+               "down": _t(g(p + "ffn.down_proj.weight"))}
+        if (prefix + p + "ffn.up_proj.bias") in state:
+            mlp["up_bias"] = _np(g(p + "ffn.up_proj.bias"))
+            mlp["down_bias"] = _np(g(p + "ffn.down_proj.bias"))
+        params["layers"].append({
+            "input_norm": _norm_from_hf(state, prefix + p + "norm_1"),
+            "attn": attn,
+            "post_attn_input_norm": _norm_from_hf(state, prefix + p + "norm_2"),
+            "mlp": mlp,
+        })
+    return params
+
+
+def _norm_to_hf(out: Dict[str, np.ndarray], key: str, p: Params) -> None:
+    out[key + ".weight"] = _np(p["weight"])
+    if "bias" in p:
+        out[key + ".bias"] = _np(p["bias"])
+
+
 def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.ndarray]:
-    """Inverse of decoder_params_from_hf; MoE layers use the reference's
-    DeepSpeed-MoE key naming so exported checkpoints load in the reference
-    (EvalLLaVAMoD* reconstruction, llava_qwen1_5_moe.py:629-681)."""
+    """Inverse of decoder_params_from_hf.  The target layout is inferred from
+    cfg flags (alibi -> MPT, logn/NTK -> qwen-1.0, parallel_block -> phi,
+    post-sublayer norms -> gemma2, else llama-style).  MoE layers use the
+    reference's DeepSpeed-MoE key naming so exported checkpoints load in the
+    reference (EvalLLaVAMoD* reconstruction, llava_qwen1_5_moe.py:629-681)."""
+    if cfg.alibi and not cfg.use_rope:
+        return _decoder_params_to_hf_mpt(params, cfg)
+    if cfg.use_logn_attn or cfg.use_dynamic_ntk:
+        return _decoder_params_to_hf_qwen_v1(params, cfg)
+
+    is_phi = cfg.parallel_block
+    o_name = "self_attn.dense" if is_phi else "self_attn.o_proj"
+    final_key = "model.final_layernorm" if is_phi else "model.norm"
     out: Dict[str, np.ndarray] = {
         "model.embed_tokens.weight": _np(params["embed"]["embedding"]),
-        "model.norm.weight": _np(params["final_norm"]["weight"]),
     }
+    _norm_to_hf(out, final_key, params["final_norm"])
     for i, layer in enumerate(params["layers"]):
         p = f"model.layers.{i}."
-        out[p + "input_layernorm.weight"] = _np(layer["input_norm"]["weight"])
-        out[p + "post_attention_layernorm.weight"] = _np(
-            layer["post_attn_input_norm"]["weight"])
+        _norm_to_hf(out, p + "input_layernorm", layer["input_norm"])
+        if cfg.post_attn_norm:
+            _norm_to_hf(out, p + "post_attention_layernorm",
+                        layer["post_attn_norm"])
+            _norm_to_hf(out, p + "pre_feedforward_layernorm",
+                        layer["post_attn_input_norm"])
+        elif not is_phi:
+            _norm_to_hf(out, p + "post_attention_layernorm",
+                        layer["post_attn_input_norm"])
+        if cfg.post_mlp_norm:
+            _norm_to_hf(out, p + "post_feedforward_layernorm",
+                        layer["post_mlp_norm"])
         a = layer["attn"]
         out[p + "self_attn.q_proj.weight"] = _t(a["wq"])
         out[p + "self_attn.k_proj.weight"] = _t(a["wk"])
         out[p + "self_attn.v_proj.weight"] = _t(a["wv"])
-        out[p + "self_attn.o_proj.weight"] = _t(a["wo"])
+        out[p + o_name + ".weight"] = _t(a["wo"])
         if "bq" in a:
             out[p + "self_attn.q_proj.bias"] = _np(a["bq"])
             out[p + "self_attn.k_proj.bias"] = _np(a["bk"])
             out[p + "self_attn.v_proj.bias"] = _np(a["bv"])
+        if "bo" in a:
+            out[p + o_name + ".bias"] = _np(a["bo"])
         m = layer["mlp"]
         if "experts" in m:
             out[p + "mlp.deepspeed_moe.gate.wg.weight"] = _t(m["router"])
@@ -177,6 +444,12 @@ def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.nda
                     out[p + f"mlp.mlp.{hf_name}.weight"] = _t(
                         m["residual_mlp"][ours])
                 out[p + "mlp.coefficient.weight"] = _t(m["coef"])
+        elif is_phi:
+            out[p + "mlp.fc1.weight"] = _t(m["up"])
+            out[p + "mlp.fc2.weight"] = _t(m["down"])
+            if "up_bias" in m:
+                out[p + "mlp.fc1.bias"] = _np(m["up_bias"])
+                out[p + "mlp.fc2.bias"] = _np(m["down_bias"])
         else:
             if "gate" in m:
                 out[p + "mlp.gate_proj.weight"] = _t(m["gate"])
@@ -184,6 +457,59 @@ def decoder_params_to_hf(params: Params, cfg: DecoderConfig) -> Dict[str, np.nda
             out[p + "mlp.down_proj.weight"] = _t(m["down"])
     if "lm_head" in params:
         out["lm_head.weight"] = _np(params["lm_head"]["weight"])
+        if "bias" in params["lm_head"]:
+            out["lm_head.bias"] = _np(params["lm_head"]["bias"])
+    return out
+
+
+def _decoder_params_to_hf_qwen_v1(params: Params,
+                                  cfg: DecoderConfig) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {
+        "transformer.wte.weight": _np(params["embed"]["embedding"]),
+    }
+    _norm_to_hf(out, "transformer.ln_f", params["final_norm"])
+    for i, layer in enumerate(params["layers"]):
+        p = f"transformer.h.{i}."
+        _norm_to_hf(out, p + "ln_1", layer["input_norm"])
+        _norm_to_hf(out, p + "ln_2", layer["post_attn_input_norm"])
+        a = layer["attn"]
+        out[p + "attn.c_attn.weight"] = np.concatenate(
+            [_t(a["wq"]), _t(a["wk"]), _t(a["wv"])], axis=0)
+        out[p + "attn.c_attn.bias"] = np.concatenate(
+            [_np(a["bq"]), _np(a["bk"]), _np(a["bv"])], axis=0)
+        out[p + "attn.c_proj.weight"] = _t(a["wo"])
+        m = layer["mlp"]
+        out[p + "mlp.w1.weight"] = _t(m["up"])
+        out[p + "mlp.w2.weight"] = _t(m["gate"])
+        out[p + "mlp.c_proj.weight"] = _t(m["down"])
+    if "lm_head" in params:
+        out["lm_head.weight"] = _np(params["lm_head"]["weight"])
+    return out
+
+
+def _decoder_params_to_hf_mpt(params: Params,
+                              cfg: DecoderConfig) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {
+        "transformer.wte.weight": _np(params["embed"]["embedding"]),
+    }
+    _norm_to_hf(out, "transformer.norm_f", params["final_norm"])
+    for i, layer in enumerate(params["layers"]):
+        p = f"transformer.blocks.{i}."
+        _norm_to_hf(out, p + "norm_1", layer["input_norm"])
+        _norm_to_hf(out, p + "norm_2", layer["post_attn_input_norm"])
+        a = layer["attn"]
+        out[p + "attn.Wqkv.weight"] = np.concatenate(
+            [_t(a["wq"]), _t(a["wk"]), _t(a["wv"])], axis=0)
+        if "bq" in a:
+            out[p + "attn.Wqkv.bias"] = np.concatenate(
+                [_np(a["bq"]), _np(a["bk"]), _np(a["bv"])], axis=0)
+        out[p + "attn.out_proj.weight"] = _t(a["wo"])
+        m = layer["mlp"]
+        out[p + "ffn.up_proj.weight"] = _t(m["up"])
+        out[p + "ffn.down_proj.weight"] = _t(m["down"])
+        if "up_bias" in m:
+            out[p + "ffn.up_proj.bias"] = _np(m["up_bias"])
+            out[p + "ffn.down_proj.bias"] = _np(m["down_bias"])
     return out
 
 

@@ -43,7 +43,14 @@ class DecoderConfig:
     post_mlp_norm: bool = False
     parallel_block: bool = False             # phi: attn and mlp in parallel
     tie_word_embeddings: bool = False
-    embed_scale: Optional[float] = None      # gemma: sqrt(hidden)
+    lm_head_bias: bool = False               # phi-2: lm_head has a bias
+    embed_scale: Optional[float] = None      # gemma: sqrt(hidden); minicpm: scale_emb
+    # MiniCPM mup scalings (reference modeling_minicpm.py:818,825,1214):
+    # every sublayer output is multiplied by scale_depth/sqrt(num_layers)
+    # before the residual add, and the hidden state is multiplied by
+    # dim_model_base/hidden_size before the LM head.
+    residual_scale: Optional[float] = None
+    logit_scale: Optional[float] = None
     sliding_window: Optional[int] = None
     sliding_window_pattern: int = 1          # gemma2: every 2nd layer global
     layernorm_eps: float = 1e-5
@@ -188,7 +195,7 @@ PHI2 = _reg(DecoderConfig(
     intermediate_size=10240, num_layers=32, num_heads=32, num_kv_heads=32,
     rope_theta=1e4, norm="layernorm", activation="gelu_tanh", gated_mlp=False,
     qkv_bias=True, o_bias=True, mlp_bias=True, parallel_block=True,
-    partial_rotary_factor=0.4), "phi2", "phi")
+    partial_rotary_factor=0.4, lm_head_bias=True), "phi2", "phi")
 
 STABLELM_2_1_6B = _reg(DecoderConfig(
     name="stablelm-2-1.6b", vocab_size=100352, hidden_size=2048,
@@ -217,9 +224,15 @@ MPT_7B = _reg(DecoderConfig(
     tie_word_embeddings=True), "mpt_7b", "mpt")
 
 MINICPM_2B = _reg(DecoderConfig(
+    # MiniCPM-2B mup scalings of record (reference modeling_minicpm.py:
+    # embeds * scale_emb=12 at :1040, sublayer outputs * scale_depth/sqrt(L)
+    # = 1.4/sqrt(40) at :818,825, hidden / (hidden/dim_model_base) = * 256/2304
+    # before the head at :1214).
     name="minicpm-2b", vocab_size=122753, hidden_size=2304,
     intermediate_size=5760, num_layers=40, num_heads=36, num_kv_heads=36,
-    rope_theta=1e4, rms_norm_eps=1e-5, tie_word_embeddings=True),
+    rope_theta=1e4, rms_norm_eps=1e-5, tie_word_embeddings=True,
+    embed_scale=12.0, residual_scale=1.4 / 40.0 ** 0.5,
+    logit_scale=256.0 / 2304.0),
     "minicpm_2b", "minicpm")
 
 

@@ -128,6 +128,8 @@ def init(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
         params["lm_head"] = {"weight": (jax.random.normal(
             ks[-1], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
         ).astype(dtype)}
+        if cfg.lm_head_bias:
+            params["lm_head"]["bias"] = jnp.zeros((cfg.vocab_size,), dtype)
     return params
 
 
@@ -260,6 +262,8 @@ def quantize_decoder_int8(params: Params,
     if include_lm_head:
         w = lm_head_weight(params, None)
         out["lm_head"] = {"weight": quantize_head_int8(w)}
+        if "lm_head" in params and "bias" in params["lm_head"]:
+            out["lm_head"]["bias"] = params["lm_head"]["bias"]
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
@@ -343,10 +347,23 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     expert_fn = functools.partial(_expert_mlp, cfg, p["experts"])
     gather = cfg.moe_dispatch == "gather"
     group = cfg.moe_gating_group_size
-    if group and b * t > group and (b * t) % group == 0:
+    pad = 0
+    if group and b * t > group and (b * t) % group != 0:
+        # Pad to a group multiple with invalid tokens rather than silently
+        # falling back to global gating (whose dispatch is quadratic in
+        # tokens — a measured 0.53 -> 0.33 MFU cliff at B=8).  Padded rows
+        # carry token_valid=False so the gate never routes them; their
+        # expert outputs are sliced away below.
+        pad = -(b * t) % group
+        xs = jnp.pad(xs, ((0, pad), (0, 0)))
+        router_logits = jnp.pad(router_logits, ((0, pad), (0, 0)))
+        tv = jnp.pad(tv if tv is not None else jnp.ones((b * t,), bool),
+                     (0, pad))
+    if group and b * t > group:
+        s = xs.shape[0]  # b*t rounded up to a group multiple
         if gather:
             e = cfg.moe_num_experts
-            g = (b * t) // group
+            g = s // group
             lg = router_logits.reshape(g, group, e)
             tvg = (tv.reshape(g, group) if tv is not None
                    else jnp.ones((g, group), bool))
@@ -355,10 +372,12 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
             y = moe_ffn_gather_grouped(
                 xs, comp, e, gcfg.capacity(group, train), group, expert_fn)
             aux = jnp.mean(comp.aux_loss)
-            probs = comp.router_probs.reshape(b * t, e)
+            probs = comp.router_probs.reshape(s, e)
         else:
             y, aux, probs = _grouped_moe(cfg, gcfg, xs, router_logits, tv,
                                          train, expert_fn, group)
+        if pad:
+            y, probs, xs = y[:b * t], probs[:b * t], xs[:b * t]
         if cfg.moe_use_residual:
             res = mlp_forward(cfg, p["residual_mlp"], xs)
             coef = jax.nn.softmax((xs @ p["coef"]).astype(jnp.float32), axis=-1)
@@ -464,10 +483,14 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
              else dh ** -0.5)
     softcap = cfg.attn_logit_softcap
 
+    # With a pattern of p, the LAST layer of each period is global and the
+    # rest slide — gemma2 slides on even layers (p=2; reference
+    # modeling_gemma2.py:246 `if not bool(layer_idx % 2)`); p=1 = all sliding
+    # (mistral).
+    pat = cfg.sliding_window_pattern
     sliding = cfg.sliding_window if (
-        cfg.sliding_window and (layer_idx % cfg.sliding_window_pattern
-                                == cfg.sliding_window_pattern - 1 or
-                                cfg.sliding_window_pattern == 1)) else None
+        cfg.sliding_window and (pat == 1 or layer_idx % pat != pat - 1)
+    ) else None
 
     new_kv = None
     if cache is not None:
@@ -565,15 +588,22 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     if cfg.post_attn_norm:
         attn_out = _norm(cfg, p["post_attn_norm"], attn_out)
 
+    # MiniCPM mup: every sublayer output is scaled by scale_depth/sqrt(L)
+    # before the residual add (reference modeling_minicpm.py:818,825).
+    rs = cfg.residual_scale
+
     if cfg.parallel_block:
         if is_moe_layer:
             mlp_out, aux, router_probs = moe_fwd(
                 cfg, p["mlp"], normed, train, token_valid)
         else:
             mlp_out = mlp_forward(cfg, p["mlp"], normed)
+        if rs is not None:
+            attn_out = attn_out * rs
+            mlp_out = mlp_out * rs
         x = x + attn_out + mlp_out
     else:
-        x = x + attn_out
+        x = x + (attn_out if rs is None else attn_out * rs)
         normed2 = _norm(cfg, p["post_attn_input_norm"], x)
         if is_moe_layer:
             mlp_out, aux, router_probs = moe_fwd(
@@ -582,7 +612,7 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
             mlp_out = mlp_forward(cfg, p["mlp"], normed2)
         if cfg.post_mlp_norm:
             mlp_out = _norm(cfg, p["post_mlp_norm"], mlp_out)
-        x = x + mlp_out
+        x = x + (mlp_out if rs is None else mlp_out * rs)
     return x, new_kv, aux, router_probs
 
 
@@ -774,6 +804,10 @@ def lm_head_weight(params: Params, cfg: Optional[DecoderConfig] = None):
 def logits_from_hidden(params: Params, cfg: DecoderConfig,
                        hidden: jnp.ndarray) -> jnp.ndarray:
     w = lm_head_weight(params, cfg)
+    if cfg.logit_scale is not None:
+        # MiniCPM mup: hidden / (hidden_size/dim_model_base) before the head
+        # (reference modeling_minicpm.py:1214)
+        hidden = hidden * jnp.asarray(cfg.logit_scale, hidden.dtype)
     if isinstance(w, dict) and "w_int8" in w:
         # int8 head: dynamic per-row activation quant, int8 MXU matmul
         b, t, d = hidden.shape
@@ -789,6 +823,8 @@ def logits_from_hidden(params: Params, cfg: DecoderConfig,
     else:
         logits = jnp.einsum("btd,vd->btv", hidden, w,
                             preferred_element_type=jnp.float32)
+    if "lm_head" in params and "bias" in params["lm_head"]:
+        logits = logits + params["lm_head"]["bias"].astype(logits.dtype)
     if cfg.final_logit_softcap is not None:
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c

@@ -127,8 +127,27 @@ def shard_params(mesh: Mesh, params):
         params, specs)
 
 
-def shard_batch(mesh: Mesh, batch):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(
-            mesh, fit_spec_to_shape(mesh, batch_spec(np.ndim(x)), np.shape(x)))),
-        batch)
+def shard_batch(mesh: Mesh, batch, *, multihost: Optional[bool] = None):
+    """Device-put a host batch with batch-dim sharding.
+
+    Single-host: a plain device_put.  Multi-host (or multihost=True): each
+    process holds only ITS per-process slice of the global batch (fed by a
+    ProcessShardSampler-sharded loader) and the global array is assembled
+    with jax.make_array_from_process_local_data — the reference gets the
+    same per-rank semantics from the deepspeed launcher + sampler world_size
+    (llava_trainer.py:62-90)."""
+    if multihost is None:
+        multihost = jax.process_count() > 1
+
+    def put(x):
+        nd = np.ndim(x)
+        if not multihost or nd == 0:
+            return jax.device_put(x, NamedSharding(
+                mesh, fit_spec_to_shape(mesh, batch_spec(nd), np.shape(x))))
+        shape = list(np.shape(x))
+        shape[0] *= jax.process_count()  # global batch = sum of local slices
+        spec = fit_spec_to_shape(mesh, batch_spec(nd), tuple(shape))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x), tuple(shape))
+
+    return jax.tree_util.tree_map(put, batch)

@@ -34,12 +34,17 @@ def main():
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--stream-chunk", type=int, default=8,
+                    help="tokens decoded per jitted chunk between prints "
+                         "(0 = print only the full reply)")
     args = ap.parse_args()
 
     from llavamod_tpu import conversation as conv_lib
     from llavamod_tpu.constants import DEFAULT_IMAGE_TOKEN
     from llavamod_tpu.eval.generate import VQARunner
-    from llavamod_tpu.generation import GenerationConfig, decode_texts, generate
+    from llavamod_tpu.generation import (GenerationConfig, decode_texts,
+                                         generate, generate_stream,
+                                         truncate_at_stops)
     from llavamod_tpu.models.builder import load_pretrained_model
 
     tokenizer, params, cfg, pp, _ = load_pretrained_model(
@@ -74,11 +79,42 @@ def main():
         prompt = conv.render()
 
         batch = runner._encode_batch([prompt], [pixels])
-        gen_ids = generate(params, cfg, batch, gcfg)
-        text = decode_texts(tokenizer, gen_ids,
-                            pad_token_id=gcfg.pad_token_id)[0].strip()
+        if args.stream_chunk <= 0:
+            gen_ids = generate(params, cfg, batch, gcfg)
+            text = decode_texts(tokenizer, gen_ids,
+                                pad_token_id=gcfg.pad_token_id)[0].strip()
+            print(f"{conv.roles[1]}: {text}")
+        else:
+            # Streaming decode (TextStreamer parity, reference
+            # serve/cli.py:99-108): print incrementally per jitted chunk.
+            # Hold back `win` trailing tokens (the longest stop string)
+            # so a stop sequence is never partially printed; the held-back
+            # tail is printed after final stop-truncation.
+            win = max([len(s) for s in gcfg.stop_sequences], default=0)
+            print(f"{conv.roles[1]}: ", end="", flush=True)
+            chunks = []
+            printed = ""
+            for toks in generate_stream(params, cfg, batch, gcfg,
+                                        chunk=args.stream_chunk):
+                chunks.append(toks)
+                ids = np.concatenate(chunks, axis=1)
+                visible = ids[:, :max(ids.shape[1] - win, 0)]
+                cur = decode_texts(tokenizer, visible,
+                                   pad_token_id=gcfg.pad_token_id)[0]
+                if cur.startswith(printed):
+                    print(cur[len(printed):], end="", flush=True)
+                    printed = cur
+            gen_ids = truncate_at_stops(np.concatenate(chunks, axis=1), gcfg)
+            full = decode_texts(tokenizer, gen_ids,
+                                pad_token_id=gcfg.pad_token_id)[0]
+            # remainder beyond what was streamed (held-back stop window)
+            if full.startswith(printed):
+                print(full[len(printed):], flush=True)
+            else:
+                # rare BPE boundary mismatch: reprint the clean final text
+                print(f"\n[full reply] {full.strip()}")
+            text = full.strip()
         conv.messages[-1][1] = text
-        print(f"{conv.roles[1]}: {text}")
 
 
 if __name__ == "__main__":

@@ -231,6 +231,20 @@ def build_data_module(stage: str, margs: ModelArgs, dargs: DataArgs,
     else:
         sampler = RandomSampler(len(dataset), seed=targs.seed)
 
+    # Multi-host pod: every process loads only its rank-strided shard of the
+    # (deterministic, identically seeded) global order; shard_batch then
+    # assembles global arrays from the per-process slices.  Reference gets
+    # this from the deepspeed launcher + sampler (llava_trainer.py:62-90).
+    import jax
+
+    if jax.process_count() > 1:
+        from llavamod_tpu.train.sampler import ProcessShardSampler
+
+        sampler = ProcessShardSampler(sampler, jax.process_index(),
+                                      jax.process_count())
+        rank0_print(f"[data] process-sharded sampler: "
+                    f"{jax.process_index()}/{jax.process_count()}")
+
     return DataLoader(dataset, targs.per_device_train_batch_size, collator,
                       sampler=sampler, drop_last=True,
                       num_workers=targs.dataloader_num_workers)

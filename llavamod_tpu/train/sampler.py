@@ -129,6 +129,35 @@ class LengthGroupedSampler:
         return iter(idx)
 
 
+class ProcessShardSampler:
+    """Per-process shard of a global sampler order (multi-host pods).
+
+    Every process iterates the SAME deterministic global order (all samplers
+    here are seeded by seed+epoch) and keeps the rank-strided slice
+    [rank::num_shards], truncated so every process yields the same count —
+    torch DistributedSampler semantics, which the reference inherits from
+    the deepspeed launcher + sampler world_size (llava_trainer.py:62-90).
+    """
+
+    def __init__(self, base, rank: int, num_shards: int):
+        assert 0 <= rank < num_shards, (rank, num_shards)
+        self.base = base
+        self.rank = rank
+        self.num_shards = num_shards
+
+    def __len__(self) -> int:
+        return len(self.base) // self.num_shards
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[int]:
+        order = list(iter(self.base))
+        per = len(order) // self.num_shards
+        return iter(order[self.rank::self.num_shards][:per])
+
+
 class RandomSampler:
     """Plain shuffling sampler with epoch reseeding."""
 

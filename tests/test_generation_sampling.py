@@ -74,3 +74,58 @@ def test_left_padding_invariant_greedy_decode():
     out_a = generate(params, cfg, _tiny_batch(cfg, left_pad=0), gcfg)
     out_b = generate(params, cfg, _tiny_batch(cfg, left_pad=3), gcfg)
     np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_stream_matches_generate_greedy():
+    """Chunked streaming decode == one-shot generate (same tokens)."""
+    from llavamod_tpu.generation import generate_stream, truncate_at_stops
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu")
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    gcfg = GenerationConfig(max_new_tokens=11, pad_token_id=0,
+                            eos_token_ids=(3,))
+    batch = _tiny_batch(cfg, left_pad=1)
+    want = generate(params, cfg, batch, gcfg)
+    chunks = list(generate_stream(params, cfg, batch, gcfg, chunk=4))
+    # prefill yield is a single token; chunk sizes are <= 4
+    assert chunks[0].shape == (2, 1)
+    assert all(c.shape[1] <= 4 for c in chunks)
+    got = truncate_at_stops(np.concatenate(chunks, axis=1), gcfg)
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_stream_matches_generate_sampled():
+    """Identical RNG split order: sampled streams reproduce generate()."""
+    from llavamod_tpu.generation import generate_stream, truncate_at_stops
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu")
+    params = llava_mod.init(cfg, jax.random.PRNGKey(1))
+    gcfg = GenerationConfig(max_new_tokens=9, temperature=0.8, top_k=50,
+                            pad_token_id=0)
+    batch = _tiny_batch(cfg, left_pad=0)
+    rng = jax.random.PRNGKey(42)
+    want = generate(params, cfg, batch, gcfg, rng=rng)
+    chunks = list(generate_stream(params, cfg, batch, gcfg, rng=rng, chunk=3))
+    got = truncate_at_stops(np.concatenate(chunks, axis=1), gcfg)
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_stream_stops_early_on_eos():
+    """Once every row hits EOS the stream ends without decoding more chunks."""
+    from llavamod_tpu.generation import generate_stream
+
+    cfg = LlavaConfig(llm=tiny_config(), vision=tiny_vision_config(),
+                      projector_type="mlp2x_gelu")
+    params = llava_mod.init(cfg, jax.random.PRNGKey(0))
+    batch = _tiny_batch(cfg, left_pad=0)
+    # find what greedy emits first, then declare THAT token the EOS
+    probe = generate(params, cfg, batch,
+                     GenerationConfig(max_new_tokens=1, pad_token_id=0))
+    eos = int(probe[0, 0])
+    gcfg = GenerationConfig(max_new_tokens=64, pad_token_id=0,
+                            eos_token_ids=(eos,))
+    chunks = list(generate_stream(params, cfg, batch, gcfg, chunk=4))
+    total = sum(c.shape[1] for c in chunks)
+    assert total < 64  # stopped well before max_new_tokens
