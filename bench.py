@@ -54,32 +54,73 @@ def _summarize_profile(profile_dir: str, top: int = 40):
 
 
 def main():
+    """Dispatch on BENCH_CONFIG:
+      default      — 0.5B-MoE student + 1.8B int8 teacher, T=1024 (headline)
+      flagship     — the config of record (1.8B->MoE student, 7B int8
+                     teacher, T=2048, record train set).  Does NOT fit one
+                     v5e (see BENCH_NOTES HBM budget) — attempts anyway so
+                     the OOM wall is on the record.
+      flagship_fit — largest faithful instantiation of the flagship that
+                     fits 16 GB: record shapes (student/teacher/T), router-
+                     only train set (the record's FFN dw/opt state alone
+                     exceeds HBM); honest FLOPs accounting.
+      eval         — batched cached generation (eval/generate.py path) vs
+                     the reference's bs=1 use_cache=False algorithm
+                     (model_vqa_loader.py:118-130) measured on this chip.
+    """
+    cfg_name = os.environ.get("BENCH_CONFIG", "default")
+    if cfg_name == "eval":
+        return bench_eval()
+    return bench_distill(cfg_name)
+
+
+def bench_distill(cfg_name: str = "default"):
     import jax
     import jax.numpy as jnp
 
     from llavamod_tpu.models import llava
     from llavamod_tpu.models.llava import LlavaConfig
     from llavamod_tpu.models.llm import decoder
-    from llavamod_tpu.models.llm.config import QWEN1_5_0_5B, QWEN1_5_1_8B
+    from llavamod_tpu.models.llm.config import (QWEN1_5_0_5B, QWEN1_5_1_8B,
+                                                QWEN1_5_4B, QWEN1_5_7B)
     from llavamod_tpu.models.llm.upcycle import activated_params, upcycle
     from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
     from llavamod_tpu.train.config import TrainConfig
     from llavamod_tpu.train.optim import TrainState
     from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
 
+    # Per-config defaults; any BENCH_* env still overrides.
+    if cfg_name in ("flagship", "flagship_fit"):
+        # Config of record (BASELINE.json / docs/TRAIN_EVAL.md:3-6,37-45):
+        # Qwen1.5-1.8B student upcycled to 4-expert top-2 every-2nd-layer
+        # (~2.2B activated), 7B-class teacher, max_len 2048.
+        defaults = dict(BENCH_BATCH="1", BENCH_SEQ="2048", BENCH_STEPS="20",
+                        BENCH_STUDENT="1.8b", BENCH_TEACHER="7b",
+                        BENCH_REMAT="1")
+        if cfg_name == "flagship_fit":
+            # record train set (all FFN + router) needs ~8.1 GB adam state
+            # + 4.1 GB grads on top of 14.5 GB params — router-only is the
+            # largest trainable set that leaves the record shapes intact
+            defaults["BENCH_TRAIN_MODULES"] = "router"
+    else:
+        defaults = {}
+    env = lambda k, d: os.environ.get(k, defaults.get(k, d))
+
     # B=2 with remat OFF is the measured sweet spot (0.514 MFU): the int8
     # teacher + 2048-chunk loss freed enough HBM that the student's full
     # backward recompute is no longer worth it.  B=3 remat-off trips an XLA
     # scoped-vmem limit in the embedding gather; B=4 needs remat (0.504).
-    b = int(os.environ.get("BENCH_BATCH", "2"))
-    t = int(os.environ.get("BENCH_SEQ", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))  # 30 amortizes the
+    b = int(env("BENCH_BATCH", "2"))
+    t = int(env("BENCH_SEQ", "1024"))
+    steps = int(env("BENCH_STEPS", "30"))  # 30 amortizes the
     # post-compile warmup on the remote backend (10 steps underreports ~2%)
     # bisection knobs (defaults = the full headline workload)
     attn = os.environ.get("BENCH_ATTN", "auto")          # auto|flash|xla
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    remat = env("BENCH_REMAT", "0") == "1"
     use_moe = os.environ.get("BENCH_MOE", "1") == "1"
-    teacher_size = os.environ.get("BENCH_TEACHER", "1.8b")  # 1.8b|0.5b
+    student_size = env("BENCH_STUDENT", "0.5b")          # 0.5b|1.8b
+    teacher_size = env("BENCH_TEACHER", "1.8b")  # 0.5b|1.8b|4b|7b
+    train_set = env("BENCH_TRAIN_MODULES", "record")     # record|router
     scan = os.environ.get("BENCH_SCAN", "1") == "1"
     # vocab-chunk sweep on this workload: 2048 ~ 1024 (0.504 MFU) > 4096
     # (0.498) > 8192 (0.494) > 16k/32k (0.489) — smaller chunks keep the
@@ -108,12 +149,13 @@ def main():
     vis_cfg = CLIP_VIT_L_336
 
     unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
-    student_llm = QWEN1_5_0_5B.replace(scan_layers=scan,
-                                       remat_policy=remat_policy,
-                                       scan_unroll=unroll)
-    teacher_llm = (QWEN1_5_1_8B if teacher_size == "1.8b"
-                   else QWEN1_5_0_5B).replace(scan_layers=scan,
-                                              scan_unroll=unroll)
+    student_presets = {"0.5b": QWEN1_5_0_5B, "1.8b": QWEN1_5_1_8B}
+    teacher_presets = {"0.5b": QWEN1_5_0_5B, "1.8b": QWEN1_5_1_8B,
+                       "4b": QWEN1_5_4B, "7b": QWEN1_5_7B}
+    student_llm = student_presets[student_size].replace(
+        scan_layers=scan, remat_policy=remat_policy, scan_unroll=unroll)
+    teacher_llm = teacher_presets[teacher_size].replace(scan_layers=scan,
+                                                        scan_unroll=unroll)
     student_llava = LlavaConfig(llm=student_llm, vision=vis_cfg,
                                 projector_type="mlp2x_gelu", max_images=1)
     teacher_llava = LlavaConfig(llm=teacher_llm, vision=vis_cfg,
@@ -126,8 +168,29 @@ def main():
     vision_params = vit.init(vis_cfg, k3, dtype=dtype)
     student_params = llava.init(student_llava, k1, dtype=dtype,
                                 vision_params=vision_params)
-    teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
-                                vision_params=vision_params)
+    big_teacher = teacher_size in ("4b", "7b")
+    if big_teacher:
+        # A 7B-class teacher in bf16 (15.4 GB) would OOM the chip BEFORE
+        # int8 quantization; build it on the host (numpy fill — jax's
+        # counter RNG takes tens of minutes for 7.7B params on CPU; bench
+        # values only need realistic scale), quantize on host CPU, ship
+        # only the int8 tree to the device.
+        cpu = jax.devices("cpu")[0]
+        log(f"initializing the {teacher_size} teacher on host "
+            f"(too big for HBM in bf16)...")
+        shapes = jax.eval_shape(
+            lambda: llava.init(teacher_llava, k2, dtype=dtype,
+                               vision_params=None))
+        rng = np.random.RandomState(0)
+        with jax.default_device(cpu):
+            teacher_params = jax.tree_util.tree_map(
+                lambda s: jnp.asarray(
+                    rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+                    dtype=s.dtype),
+                shapes)
+    else:
+        teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
+                                    vision_params=vision_params)
 
     if use_moe:
         moe_llm_cfg, moe_llm_params = upcycle(
@@ -142,12 +205,15 @@ def main():
     # recipe of record: FFN (experts) + router train, rest frozen
     # (dense2sparse_distillation.sh:56 --train_modules ... wg); frozen
     # params are stop-gradient'd so their backward is DCE'd and carry no
-    # optimizer state.
+    # optimizer state.  'router' trains only the gate (flagship_fit: the
+    # record FFN train set's optimizer state alone exceeds one v5e's HBM).
+    train_modules = (("router",) if train_set == "router"
+                     else ("/gate", "/up", "/down", "router"))
     tcfg = TrainConfig(stage="align", align_loss_type=loss_type,
                        compute_dtype="bfloat16", remat=remat,
                        kd_vocab_limit=151936, vocab_chunk=chunk,
                        attn_impl=attn,
-                       train_modules=("/gate", "/up", "/down", "router"),
+                       train_modules=train_modules,
                        total_steps=10_000, max_grad_norm=1.0)
 
     # shared frozen tower: the teacher tree drops its vision copy
@@ -159,6 +225,21 @@ def main():
             include_lm_head=(teacher_quant == "int8_head"))
         log(f"teacher attention/MLP weights quantized to int8"
             + (" + int8 LM head" if teacher_quant == "int8_head" else ""))
+    # Pre-stack layer trees outside the step: without this the jitted
+    # step's layer scan re-stacks ALL weights into an HLO temp every call —
+    # an extra full weight copy per step (fatal 8.4 GB peak for the int8 7B
+    # teacher: flagship_fit OOM'd at 24.99G/15.75G before this).
+    if os.environ.get("BENCH_PRESTACK", "1") == "1" and scan:
+        student_params["llm"] = decoder.stack_layers(
+            student_llava.llm, student_params["llm"])
+        teacher_params["llm"] = decoder.stack_layers(
+            teacher_llava.llm, teacher_params["llm"])
+        log("layer trees pre-stacked for the scan (no per-step restack)")
+    if big_teacher:
+        t0 = time.time()
+        teacher_params = jax.device_put(teacher_params, jax.devices()[0])
+        jax.block_until_ready(teacher_params)
+        log(f"int8 teacher shipped to device in {time.time() - t0:.1f}s")
     log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
         f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
@@ -234,24 +315,179 @@ def main():
     tok_per_sec = tokens / elapsed
 
     # model FLOPs: student fwd+bwd = 6*P_act*tok, teacher fwd = 2*P_t*tok,
-    # vision fwd (frozen, shared encode teacher+student) ~= 2 * 2*P_vit*576*B
+    # vision fwd (frozen, shared encode teacher+student) ~= 2 * 2*P_vit*576*B.
+    # Router-only training elides the FFN/attn dW matmuls (stop-grad DCE),
+    # so its student cost is 4*P_act (fwd + dL/dx), not 6.
     p_s = activated_params(student_llava.llm)
     p_t = activated_params(teacher_llava.llm)
     p_v = 0.30e9
-    flops_per_step = (6 * p_s + 2 * p_t) * b * t + 2 * (2 * p_v * 577 * b)
+    s_mult = 4 if train_set == "router" else 6
+    flops_per_step = (s_mult * p_s + 2 * p_t) * b * t + 2 * (2 * p_v * 577 * b)
     achieved = flops_per_step * steps / elapsed
     peak = 197e12  # v5e bf16 peak
     mfu = achieved / peak
     log(f"elapsed {elapsed:.2f}s for {steps} steps; "
-        f"{tok_per_sec:.0f} tok/s/chip; MFU={mfu:.3f}")
+        f"{tok_per_sec:.0f} tok/s/chip; MFU={mfu:.3f} "
+        f"(P_act student {p_s / 1e9:.2f}B, teacher {p_t / 1e9:.2f}B)")
 
+    metric = "mimic_distill_tokens_per_sec_per_chip"
+    if cfg_name != "default":
+        metric += f"_{cfg_name}"
     print(json.dumps({
-        "metric": "mimic_distill_tokens_per_sec_per_chip",
+        "metric": metric,
         "value": round(tok_per_sec, 1),
-        "unit": "tokens/s/chip (0.5B-MoE student, 1.8B teacher"
+        "unit": f"tokens/s/chip ({student_size}-MoE student, {teacher_size} "
+                f"teacher"
                 + (" int8-W8A8" if teacher_quant.startswith("int8") else "")
-                + ", T=1024, bf16)",
+                + f", T={t}, bf16"
+                + (", router-only train set" if train_set == "router" else "")
+                + ")",
         "vs_baseline": round(mfu / 0.40, 3),
+    }))
+
+
+def _eval_batch(cfg, b, t, n_img, seed=0):
+    """Synthetic right-padded VQA batch: [image tokens][prompt text]."""
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(10, 1000, size=(b, t)).astype(np.int32)
+    image_mask = np.zeros((b, t), bool)
+    image_mask[:, 1:1 + n_img] = True
+    image_pos = np.zeros((b, t), np.int32)
+    for i in range(b):
+        image_pos[i, 1:1 + n_img] = i * n_img + np.arange(n_img)
+    s = cfg.vision.image_size
+    return {
+        "input_ids": ids,
+        "segment_ids": np.ones((b, t), np.int32),
+        "image_mask": image_mask,
+        "image_pos": image_pos,
+        "pixels": rng.randn(b, 1, 3, s, s).astype(np.float32),
+        "pixel_valid": np.ones((b, 1), bool),
+        "labels": np.where(image_mask, -100, ids),
+    }
+
+
+def bench_eval():
+    """Eval-generation throughput (BASELINE.json metric #2): batched cached
+    decode through the generation stack eval/generate.py uses, vs the
+    reference's decode ALGORITHM — bs=1 with use_cache=False, i.e. a full
+    re-forward (incl. the LM head over every position) per generated token
+    (model_vqa_loader.py:118-130 + llava_arch.py prepare) — measured on the
+    same chip, same model, same prompt/new-token shapes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from llavamod_tpu.generation import GenerationConfig, generate
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm.config import QWEN1_5_1_8B
+    from llavamod_tpu.models.llm.upcycle import upcycle
+    from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
+    from llavamod_tpu.train.steps import batch_from_arrays
+
+    b = int(os.environ.get("BENCH_BATCH", "8"))
+    prompt_t = int(os.environ.get("BENCH_SEQ", "640"))  # 576 image + text
+    new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
+    runs = int(os.environ.get("BENCH_RUNS", "4"))
+    kv = os.environ.get("BENCH_KV", "int8")             # int8 | bfloat16
+    # BENCH_EVAL_QUANT=int8: W8A8 student serving (attention/MLP/experts/
+    # head on the int8 MXU, half the weight reads).  Default bf16 = the
+    # parity configuration with the reference's fp16 eval.
+    weight_quant = os.environ.get("BENCH_EVAL_QUANT", "")
+    with_ref = os.environ.get("BENCH_EVAL_REF", "1") == "1"
+    dtype = jnp.bfloat16
+
+    log(f"devices: {jax.devices()}")
+    log(f"eval bench: B={b} prompt={prompt_t} new={new_tokens} kv={kv}")
+
+    # the deployment target: the 2B-activated MoE student of record
+    cfg = LlavaConfig(llm=QWEN1_5_1_8B, vision=CLIP_VIT_L_336,
+                      projector_type="mlp2x_gelu", max_images=1)
+    log("initializing params (bf16)...")
+    params = llava.init(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    moe_llm, moe_params = upcycle(cfg.llm, params["llm"], moe_mode="sparse",
+                                  num_experts=4, top_k=2,
+                                  capacity_factor=1.5,
+                                  eval_capacity_factor=2.0)
+    cfg = cfg.replace(llm=moe_llm.replace(moe_gating_group_size=prompt_t))
+    params["llm"] = moe_params
+    if weight_quant == "int8":
+        from llavamod_tpu.models.llm import decoder as _dec
+
+        params["llm"] = _dec.quantize_decoder_int8(
+            params["llm"], include_lm_head=True, include_experts=True)
+        log("student quantized to int8 W8A8 (attn/MLP/experts/head)")
+
+    batch = batch_from_arrays(_eval_batch(cfg, b, prompt_t,
+                                          cfg.num_image_tokens))
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, cache_dtype=kv,
+                            pad_token_id=0)
+
+    log("compiling batched cached generation (prefill + decode scan)...")
+    t0 = time.time()
+    out = generate(params, cfg, batch, gcfg)  # np conversion forces execution
+    log(f"compile+first generation: {time.time() - t0:.1f}s "
+        f"(shape {out.shape})")
+
+    t0 = time.time()
+    for _ in range(runs):
+        out = generate(params, cfg, batch, gcfg)
+    elapsed = time.time() - t0
+    images_per_sec = b * runs / elapsed
+    toks_per_sec = b * runs * new_tokens / elapsed
+    log(f"batched cached decode: {images_per_sec:.2f} images/s, "
+        f"{toks_per_sec:.0f} gen tok/s ({elapsed:.2f}s for {runs} runs)")
+
+    ref_images_per_sec = None
+    if with_ref:
+        # reference algorithm: bs=1, no KV cache — one full forward (with
+        # the LM head over ALL positions, as HF CausalLM does) per token,
+        # next token fetched to host each step (the HF generate loop)
+        total = prompt_t + new_tokens
+        raw1 = _eval_batch(cfg, 1, total, cfg.num_image_tokens)
+        raw1["segment_ids"][:, prompt_t:] = 0
+        raw1["input_ids"][:, prompt_t:] = 0
+
+        @jax.jit
+        def nocache_next(params, batch, n):
+            out = llava.forward(params, cfg, batch, train=False)
+            logits = llava.logits(params, cfg, out.hidden)  # [1, T, V]
+            last = jnp.take(logits[0], n - 1, axis=0)
+            return jnp.argmax(last).astype(jnp.int32)
+
+        log("compiling the reference-algorithm loop (bs=1, no cache)...")
+        ids = raw1["input_ids"].copy()
+        seg = raw1["segment_ids"].copy()
+        t0 = time.time()
+        nxt = int(nocache_next(params, batch_from_arrays(
+            {**raw1, "input_ids": ids, "segment_ids": seg}), prompt_t))
+        log(f"compile+first token: {time.time() - t0:.1f}s")
+
+        n_ref = max(1, int(os.environ.get("BENCH_REF_TOKENS",
+                                          str(new_tokens))))
+        t0 = time.time()
+        for i in range(n_ref):
+            ids[0, prompt_t + i] = nxt
+            seg[0, prompt_t + i] = 1
+            nxt = int(nocache_next(params, batch_from_arrays(
+                {**raw1, "input_ids": ids, "segment_ids": seg}),
+                prompt_t + i + 1))
+        ref_elapsed = (time.time() - t0) * (new_tokens / n_ref)
+        ref_images_per_sec = 1.0 / ref_elapsed
+        log(f"reference algorithm: {ref_images_per_sec:.3f} images/s "
+            f"({ref_elapsed:.2f}s per {new_tokens}-token answer)")
+
+    vs = (round(images_per_sec / ref_images_per_sec, 1)
+          if ref_images_per_sec else None)
+    print(json.dumps({
+        "metric": "eval_images_per_sec_batched_generation",
+        "value": round(images_per_sec, 2),
+        "unit": f"images/s (2B-activated MoE student"
+                + (" int8-W8A8" if weight_quant == "int8" else "")
+                + f", B={b}, prompt {prompt_t}, {new_tokens} new tokens, "
+                f"{kv} KV)",
+        "vs_baseline": vs,
     }))
 
 

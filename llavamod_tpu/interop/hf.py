@@ -613,6 +613,17 @@ def projector_params_to_hf(params: Params,
             out[prefix + f"image_spatial_proj.{idx}.weight"] = _t(layer["kernel"])
             out[prefix + f"image_spatial_proj.{idx}.bias"] = _np(layer["bias"])
         return out
+    m = re.match(r"^pool_mlp(\d+)x_gelu$", projector_type)
+    if m:
+        # Pool_Block (reference pool_block.py:8-27): AvgPool2d has no
+        # params; the MLP lives under a 'block.' Sequential
+        for j, layer in enumerate(params["layers"]):
+            idx = j * 2
+            out[prefix + f"image_spatial_proj.block.{idx}.weight"] = _t(
+                layer["kernel"])
+            out[prefix + f"image_spatial_proj.block.{idx}.bias"] = _np(
+                layer["bias"])
+        return out
     if re.match(r"^(cheap_)?qformer\d+_\d+$", projector_type):
         return _qformer_params_to_hf(params, prefix + "image_spatial_proj.")
     raise NotImplementedError(
@@ -745,15 +756,17 @@ def projector_params_from_hf(state: Mapping[str, Any],
         return {"kernel": _t(cleaned["weight"]), "bias": _np(cleaned["bias"])}
     import re
 
-    m = re.match(r"^mlp(\d+)x_gelu$", projector_type)
+    m = re.match(r"^(pool_)?mlp(\d+)x_gelu$", projector_type)
     if m:
-        depth = int(m.group(1))
+        depth = int(m.group(2))
+        # Pool_Block nests the Sequential under 'block.' (pool_block.py:18)
+        sub = "block." if m.group(1) else ""
         layers = []
         # reference nn.Sequential indices: 0, 2, 4 ... (GELU between)
         for j in range(depth):
             idx = j * 2
-            layers.append({"kernel": _t(cleaned[f"{idx}.weight"]),
-                           "bias": _np(cleaned[f"{idx}.bias"])})
+            layers.append({"kernel": _t(cleaned[f"{sub}{idx}.weight"]),
+                           "bias": _np(cleaned[f"{sub}{idx}.bias"])})
         return {"layers": layers}
     m = re.match(r"^(cheap_)?qformer(\d+)_(\d+)$", projector_type)
     if m:

@@ -77,13 +77,12 @@ def load_model(model_dir: str, template_params: Optional[Any] = None
         cfg = config_from_dict(json.load(f))
     path = os.path.abspath(os.path.join(model_dir, "params"))
     if template_params is None:
-        import jax
-
-        from llavamod_tpu.models import llava
-
-        template_params = jax.eval_shape(
-            lambda: llava.init(cfg, jax.random.PRNGKey(0)))
-    params = ocp.StandardCheckpointer().restore(path, template_params)
+        # restore from the checkpoint's own metadata: HF-converted trees can
+        # differ structurally from a fresh init (weight-only norms, biases,
+        # tied heads), so an init-shaped template would be wrong
+        params = ocp.StandardCheckpointer().restore(path)
+    else:
+        params = ocp.StandardCheckpointer().restore(path, template_params)
     return cfg, params
 
 

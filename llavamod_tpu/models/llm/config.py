@@ -96,6 +96,12 @@ class DecoderConfig:
     # lax.scan over (period-stacked) layers: one traced layer block instead of
     # num_layers inlined copies => ~L/period x faster XLA compiles.
     scan_layers: bool = True
+    # Same scan for the CACHED (decode) path, with per-layer cache rows as
+    # scan inputs.  Default OFF: measured on v5e (24-layer 2B MoE student,
+    # B=8 decode) the nested scan LOST 9% decode throughput and compiled
+    # slower (103 s vs 72 s) than inline layers — keep for much deeper
+    # models where inline decode tracing is the compile bottleneck.
+    scan_layers_decode: bool = False
     # lax.scan unroll factor for the layer scan (>1 trades compile time for
     # less per-iteration loop overhead)
     scan_unroll: int = 1

@@ -250,14 +250,32 @@ def quantize_head_int8(w: jnp.ndarray):
     return {"w_int8": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_experts_int8(experts: Params) -> Params:
+    """Stacked expert weights {name: [E, in, out]} -> int8 dicts with
+    per-(expert, output-channel) scales, consumed by _expert_mlp on the
+    int8 MXU (W8A8 serving of the sparse student)."""
+    out = {}
+    for name, w in experts.items():
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=1)            # [E, out]
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]),
+                     -127, 127).astype(jnp.int8)
+        out[name] = {"w_int8": q, "scale": scale}
+    return out
+
+
 def quantize_decoder_int8(params: Params,
-                          include_lm_head: bool = False) -> Params:
+                          include_lm_head: bool = False,
+                          include_experts: bool = False) -> Params:
     """Quantize every layer's attention/MLP weights to int8 (embed and norms
     stay float).  include_lm_head additionally quantizes the output head —
     per-vocab-row scales, consumed on the int8 MXU by the chunked KD losses
     and logits_from_hidden; for tied-embedding models an int8 COPY is added
     under 'lm_head' (the float embedding stays for input lookup) which
-    lm_head_weight then prefers."""
+    lm_head_weight then prefers.  include_experts quantizes the stacked MoE
+    expert FFNs too (W8A8 serving of the sparse student — experts are half
+    the student's weight bytes; the dense-teacher use leaves them off)."""
     out = dict(params)
     if include_lm_head:
         w = lm_head_weight(params, None)
@@ -275,8 +293,13 @@ def quantize_decoder_int8(params: Params,
         for k in ("gate", "up", "down"):
             if k in mlp and not isinstance(mlp[k], dict):
                 mlp[k] = quantize_dense_int8(mlp[k])
-        if "experts" in mlp:  # leave experts float (teacher is dense)
-            pass
+        if include_experts:
+            if "residual_mlp" in mlp:
+                mlp["residual_mlp"] = {
+                    k: quantize_dense_int8(v) if k in ("gate", "up", "down")
+                    else v for k, v in mlp["residual_mlp"].items()}
+            if "experts" in mlp:
+                mlp["experts"] = quantize_experts_int8(mlp["experts"])
         layer["mlp"] = mlp
         layers.append(layer)
     out["layers"] = layers
@@ -297,15 +320,35 @@ def mlp_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _expert_dense(xe: jnp.ndarray, w) -> jnp.ndarray:
+    """Batched per-expert matmul: xe [E, C, D] @ w [E, D, F] -> [E, C, F].
+
+    w may be a plain array or an int8 dict {'w_int8' [E, D, F],
+    'scale' [E, F]} (quantize_experts_int8): dynamic per-row activation
+    quantization + batched int8 MXU dot (2x bf16 peak, half the HBM reads
+    — the experts are half of a sparse student's weight bytes)."""
+    if isinstance(w, dict) and "w_int8" in w:
+        s_x = jnp.max(jnp.abs(xe.astype(jnp.float32)), axis=-1, keepdims=True)
+        s_x = jnp.maximum(s_x / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xe.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, w["w_int8"],
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * s_x
+                * w["scale"].astype(jnp.float32)[:, None, :]).astype(xe.dtype)
+    return jnp.einsum("ecd,edf->ecf", xe, w)
+
+
 def _expert_mlp(cfg: DecoderConfig, experts: Params, xe: jnp.ndarray) -> jnp.ndarray:
     """xe: [E, C, D] -> [E, C, D]; expert weights carry a leading E axis."""
-    up = jnp.einsum("ecd,edf->ecf", xe, experts["up"])
+    up = _expert_dense(xe, experts["up"])
     if cfg.gated_mlp:
-        gate = jnp.einsum("ecd,edf->ecf", xe, experts["gate"])
+        gate = _expert_dense(xe, experts["gate"])
         h = _activation(cfg, gate) * up
     else:
         h = _activation(cfg, up)
-    return jnp.einsum("ecf,efd->ecd", h, experts["down"])
+    return _expert_dense(h, experts["down"])
 
 
 def _grouped_moe(cfg: DecoderConfig, gcfg, xs, router_logits, tv, train,
@@ -442,8 +485,14 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                       segment_ids: Optional[jnp.ndarray],
                       layer_idx: int,
                       cache: Optional[KVCache],
-                      attn_impl: str = "auto"):
-    """x: [B, T, D].  Returns (out [B, T, D], updated (k,v,segment) or None)."""
+                      attn_impl: str = "auto",
+                      cache_rows=None):
+    """x: [B, T, D].  Returns (out [B, T, D], updated (k,v,segment) or None).
+
+    cache_rows: optional (k, v, k_scale, v_scale) per-layer cache arrays
+    overriding cache.k[layer_idx]/... — used by the scanned decode path,
+    where the layer axis is a lax.scan input instead of a Python index.
+    """
     b, t, d = x.shape
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -497,25 +546,27 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         # Decode / incremental prefill: write k,v into the cache at `length`.
         start = cache.length
         scales = None
+        if cache_rows is not None:
+            base_k, base_v, base_ks, base_vs = cache_rows
+        else:
+            base_k, base_v = cache.k[layer_idx], cache.v[layer_idx]
+            base_ks = cache.k_scale[layer_idx] if cache.quantized else None
+            base_vs = cache.v_scale[layer_idx] if cache.quantized else None
         if cache.quantized:
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq,
-                                              (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq,
-                                              (0, start, 0, 0))
-            cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks,
-                                               (0, start, 0))
-            cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs,
-                                               (0, start, 0))
+            ck = jax.lax.dynamic_update_slice(base_k, kq, (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(base_v, vq, (0, start, 0, 0))
+            cks = jax.lax.dynamic_update_slice(base_ks, ks, (0, start, 0))
+            cvs = jax.lax.dynamic_update_slice(base_vs, vs, (0, start, 0))
             k_full = _dequantize_kv(ck, cks, q.dtype)
             v_full = _dequantize_kv(cv, cvs, q.dtype)
             scales = (cks, cvs)
         else:
             ck = jax.lax.dynamic_update_slice(
-                cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
+                base_k, k.astype(cache.k.dtype), (0, start, 0, 0))
             cv = jax.lax.dynamic_update_slice(
-                cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+                base_v, v.astype(cache.v.dtype), (0, start, 0, 0))
             k_full = ck.astype(q.dtype)
             v_full = cv.astype(q.dtype)
         s_max = ck.shape[1]
@@ -574,7 +625,7 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
 
 def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                   positions, segment_ids, layer_idx, cache,
-                  train: bool, attn_impl: str = "auto"):
+                  train: bool, attn_impl: str = "auto", cache_rows=None):
     is_moe_layer = cfg.is_moe and (layer_idx in cfg.moe_layers)
     aux = jnp.zeros((), jnp.float32)
     router_probs = None
@@ -584,7 +635,8 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
 
     normed = _norm(cfg, p["input_norm"], x)
     attn_out, new_kv = attention_forward(cfg, p["attn"], normed, positions,
-                                         segment_ids, layer_idx, cache, attn_impl)
+                                         segment_ids, layer_idx, cache,
+                                         attn_impl, cache_rows)
     if cfg.post_attn_norm:
         attn_out = _norm(cfg, p["post_attn_norm"], attn_out)
 
@@ -648,6 +700,58 @@ def _layer_period(cfg: DecoderConfig) -> int:
     return cfg.num_layers
 
 
+def _stack_period(layers, p: int):
+    """Stack layer param trees position-by-position within the period:
+    returns ([tree with leading reps axis] * p, reps)."""
+    reps = len(layers) // p
+    stacked = []
+    for j in range(p):
+        group = [layers[r * p + j] for r in range(reps)]
+        stacked.append(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group))
+    return stacked, reps
+
+
+def is_stacked(params: Params) -> bool:
+    return isinstance(params["layers"], dict) and "stacked" in params["layers"]
+
+
+def stack_layers(cfg: DecoderConfig, params: Params) -> Params:
+    """Pre-stack the layer trees for the scan path, ONCE, outside the step.
+
+    Without this, the jitted step's lax.scan stacks every layer's weights
+    into one HLO temp on EVERY call — a full extra copy of all layer params
+    (1.9 GB of per-step HBM traffic for a 1.8B int8 teacher; a fatal 8.4 GB
+    peak for a 7B one).  A pre-stacked tree is consumed by the scan
+    directly.  Format: params['layers'] = {'stacked': [tree_0..tree_{p-1}]}
+    with p = the structural period and each leaf carrying a leading
+    num_layers/p axis.  Supported by the scan (no-cache) path only;
+    unstack_layers() restores the per-layer list."""
+    if is_stacked(params):
+        return params
+    p = _layer_period(cfg)
+    stacked, _ = _stack_period(params["layers"], p)
+    out = dict(params)
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def unstack_layers(cfg: DecoderConfig, params: Params) -> Params:
+    """Inverse of stack_layers (e.g. before checkpoint export)."""
+    if not is_stacked(params):
+        return params
+    stacked = params["layers"]["stacked"]
+    p = len(stacked)
+    reps = jax.tree_util.tree_leaves(stacked[0])[0].shape[0]
+    layers = []
+    for r in range(reps):
+        for j in range(p):
+            layers.append(jax.tree_util.tree_map(lambda x: x[r], stacked[j]))
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
                  train: bool, attn_impl: str, remat: bool):
     """lax.scan over period-stacked layers (prefill/training path, no cache).
@@ -657,16 +761,12 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
     repeat axis, and ONE repeat is traced — compile time drops by ~L/period.
     """
     layers = params["layers"]
-    n = len(layers)
-    p = _layer_period(cfg)
-    reps = n // p
-
-    # stack params position-by-position within the period
-    stacked = []
-    for j in range(p):
-        group = [layers[r * p + j] for r in range(reps)]
-        stacked.append(jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *group))
+    if isinstance(layers, dict) and "stacked" in layers:
+        stacked = layers["stacked"]
+        p = len(stacked)
+    else:
+        p = _layer_period(cfg)
+        stacked, _ = _stack_period(layers, p)
 
     def block(x, rep_params):
         aux_sum = jnp.zeros((), jnp.float32)
@@ -706,6 +806,79 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
     return x, aux_total, moe_losses, router_probs
 
 
+def _scan_layers_cached(params, cfg: DecoderConfig, x, positions, segment_ids,
+                        train: bool, attn_impl: str, cache: KVCache):
+    """lax.scan over period-stacked layers for the CACHED (prefill/decode)
+    path: per-layer cache rows ride the scan as inputs/outputs, so one
+    traced block serves all L layers — ~L/period faster decode compiles
+    than the previous inline loop, identical numerics."""
+    b, t, _ = x.shape
+    layers = params["layers"]
+    n = len(layers)
+    p = _layer_period(cfg)
+    stacked, reps = _stack_period(layers, p)
+    quant = cache.quantized
+
+    def resh(a):
+        return a.reshape((reps, p) + a.shape[1:])
+
+    xs = (tuple(stacked), resh(cache.k), resh(cache.v),
+          resh(cache.k_scale) if quant else None,
+          resh(cache.v_scale) if quant else None)
+
+    def block(x, xs_t):
+        rep_params, k_r, v_r, ks_r, vs_r = xs_t
+        new_k, new_v, new_ks, new_vs = [], [], [], []
+        aux_sum = jnp.zeros((), jnp.float32)
+        probs_list = []
+        seg_out = None
+        for j in range(p):
+            rows = (k_r[j], v_r[j],
+                    ks_r[j] if quant else None,
+                    vs_r[j] if quant else None)
+            x, kv, aux, probs = layer_forward(
+                cfg, rep_params[j], x, positions, segment_ids, j, cache,
+                train, attn_impl, cache_rows=rows)
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+            seg_out = kv[2]
+            if kv[3] is not None:
+                new_ks.append(kv[3][0])
+                new_vs.append(kv[3][1])
+            aux_sum = aux_sum + aux
+            if probs is not None:
+                probs_list.append(probs)
+        probs_out = (jnp.stack(probs_list) if probs_list
+                     else jnp.zeros((0, 1, 1), jnp.float32))
+        ys = (jnp.stack(new_k), jnp.stack(new_v),
+              jnp.stack(new_ks) if quant else None,
+              jnp.stack(new_vs) if quant else None,
+              seg_out, aux_sum, probs_out)
+        return x, ys
+
+    x, ys = jax.lax.scan(block, x, xs, unroll=max(1, cfg.scan_unroll))
+    k_new, v_new, ks_new, vs_new, segs, aux_per_rep, probs_per_rep = ys
+
+    def unresh(a):
+        return a.reshape((n,) + a.shape[2:])
+
+    new_cache = KVCache(
+        unresh(k_new), unresh(v_new), segs[0], cache.length + t,
+        unresh(ks_new) if quant else None,
+        unresh(vs_new) if quant else None)
+
+    x = _norm(cfg, params["final_norm"], x)
+    aux_total = jnp.sum(aux_per_rep)
+    if probs_per_rep.shape[1] > 0:
+        flat = probs_per_rep.reshape((-1,) + probs_per_rep.shape[2:])
+        router_probs = tuple(flat[i] for i in range(flat.shape[0]))
+        moe_losses = tuple(aux_per_rep)
+    else:
+        router_probs = ()
+        moe_losses = ()
+    return DecoderOutput(x, aux_total, moe_losses, router_probs, new_cache)
+
+
 def forward(
     params: Params,
     cfg: DecoderConfig,
@@ -737,11 +910,23 @@ def forward(
     if cache is None:
         x = _seq_constraint(cfg, x)
 
-    if cache is None and cfg.scan_layers and len(params["layers"]) > 1:
+    stacked_tree = is_stacked(params)
+    if cache is None and cfg.scan_layers and (
+            stacked_tree or len(params["layers"]) > 1):
         x, aux_total, moe_losses, router_probs = _scan_layers(
             params, cfg, x, positions, segment_ids, train, attn_impl, remat)
         x = _norm(cfg, params["final_norm"], x)
         return DecoderOutput(x, aux_total, moe_losses, router_probs, None)
+
+    if stacked_tree:
+        raise ValueError(
+            "pre-stacked layer trees (stack_layers) support only the "
+            "scan_layers no-cache path; unstack_layers() first")
+
+    if (cache is not None and cfg.scan_layers_decode
+            and len(params["layers"]) > 1):
+        return _scan_layers_cached(params, cfg, x, positions, segment_ids,
+                                   train, attn_impl, cache)
 
     aux_total = jnp.zeros((), jnp.float32)
     moe_losses: List[jnp.ndarray] = []

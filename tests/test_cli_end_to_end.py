@@ -120,3 +120,24 @@ def test_train_cli_stage1(model_dir):
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
     steps = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     assert steps and "loss" in steps[-1]
+
+
+def test_serve_cli_stream_matches_nostream(model_dir):
+    """Streaming (--stream-chunk 4) prints the same final reply as the
+    non-streaming path (--stream-chunk 0) under greedy decoding."""
+    d, imgs, tmp = model_dir
+
+    def run(chunk):
+        r = subprocess.run(
+            [sys.executable, "-m", "llavamod_tpu.serve.cli",
+             "--model-path", d, "--image-file", os.path.join(imgs, "i0.png"),
+             "--conv-mode", "qwen", "--max-new-tokens", "6",
+             "--temperature", "0", "--stream-chunk", str(chunk)],
+            input="hello\n\n", env=_env(), capture_output=True, text=True,
+            timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        reply = [l for l in r.stdout.splitlines() if "ASSISTANT:" in l]
+        assert reply, r.stdout[-500:]
+        return reply[0].split("ASSISTANT:", 1)[1].strip()
+
+    assert run(0) == run(4)

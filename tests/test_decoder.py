@@ -202,3 +202,126 @@ def test_moe_remat_policy_is_value_and_grad_identical():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_scan_layers_decode_matches_inline():
+    """Opt-in cached-path layer scan (scan_layers_decode=True) is
+    numerically identical to the inline decode loop, MoE + int8 cache
+    included."""
+    import numpy as np
+
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    base = tiny_config(num_layers=4, moe_num_experts=4, moe_top_k=2,
+                       moe_layers=(1, 3))
+    params = decoder.init(base, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, size=(2, 6)))
+
+    for cache_dtype in (jnp.bfloat16, "int8"):
+        outs = []
+        for scan_dec in (False, True):
+            cfg = base.replace(scan_layers_decode=scan_dec)
+            cache = decoder.init_cache(cfg, 2, 16, dtype=cache_dtype)
+            out = decoder.forward(params, cfg, input_ids=ids, cache=cache,
+                                  train=False)
+            # one decode step on top
+            step = decoder.forward(params, cfg,
+                                   input_ids=ids[:, :1] + 1,
+                                   cache=out.cache, train=False)
+            outs.append((out.hidden, out.cache, step.hidden))
+        (h0, c0, s0), (h1, c1, s1) = outs
+        # same math, different XLA fusion order: fp32 reassociation, and
+        # int8 cache values on a rounding boundary can flip one step --
+        # tolerances catch layout/order bugs (O(1) errors), not quant noise
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                                   rtol=1e-2, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-2, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(c0.k, np.float32),
+                                   np.asarray(c1.k, np.float32),
+                                   rtol=1e-2, atol=1.0)
+        np.testing.assert_array_equal(np.asarray(c0.segment),
+                                      np.asarray(c1.segment))
+
+
+def test_int8_expert_serving_quantization():
+    """quantize_decoder_int8(include_experts=True): W8A8 sparse student —
+    forward stays close to float, and cached decode runs on the int8 tree."""
+    import numpy as np
+
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    cfg = tiny_config(num_layers=4, moe_num_experts=4, moe_top_k=2,
+                      moe_layers=(1, 3), tie_word_embeddings=True)
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    # non-degenerate weights
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape)
+        if x.ndim >= 2 else x, params)
+
+    qparams = decoder.quantize_decoder_int8(params, include_lm_head=True,
+                                            include_experts=True)
+    # experts actually quantized
+    moe_mlp = qparams["layers"][1]["mlp"]
+    assert "w_int8" in moe_mlp["experts"]["up"]
+    assert moe_mlp["experts"]["up"]["w_int8"].dtype == jnp.int8
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, size=(2, 8)))
+    ref = decoder.forward(params, cfg, input_ids=ids, train=False)
+    got = decoder.forward(qparams, cfg, input_ids=ids, train=False)
+    ref_l = np.asarray(decoder.logits_from_hidden(params, cfg, ref.hidden))
+    got_l = np.asarray(decoder.logits_from_hidden(qparams, cfg, got.hidden))
+    # W8A8 error budget: logits track the float model closely (random
+    # untrained weights overstate quant error vs a real checkpoint)
+    assert np.max(np.abs(ref_l - got_l)) < 0.5
+    assert np.corrcoef(ref_l.ravel(), got_l.ravel())[0, 1] > 0.995
+
+    # cached decode path runs on the quantized tree
+    cache = decoder.init_cache(cfg, 2, 16, dtype="int8")
+    out = decoder.forward(qparams, cfg, input_ids=ids, cache=cache,
+                          train=False)
+    step = decoder.forward(qparams, cfg, input_ids=ids[:, :1],
+                           cache=out.cache, train=False)
+    assert np.isfinite(np.asarray(step.hidden, np.float32)).all()
+
+
+def test_stack_layers_roundtrip_and_forward_equivalence():
+    """Pre-stacked layer trees: same outputs, gradients flow, and
+    unstack restores the exact per-layer list."""
+    import numpy as np
+
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    cfg = tiny_config(num_layers=4, moe_num_experts=4, moe_top_k=2,
+                      moe_layers=(1, 3))
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    stacked = decoder.stack_layers(cfg, params)
+    assert decoder.is_stacked(stacked) and not decoder.is_stacked(params)
+
+    # round trip is exact
+    back = decoder.unstack_layers(cfg, stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, size=(2, 8)))
+    ref = decoder.forward(params, cfg, input_ids=ids, train=True)
+    got = decoder.forward(stacked, cfg, input_ids=ids, train=True)
+    np.testing.assert_allclose(np.asarray(ref.hidden), np.asarray(got.hidden),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients flow through the stacked tree
+    def loss(p):
+        out = decoder.forward(p, cfg, input_ids=ids, train=True)
+        return jnp.sum(out.hidden.astype(jnp.float32) ** 2) + out.aux_loss
+
+    grads = jax.grad(loss)(stacked)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+    # cache path refuses stacked trees with a clear error
+    cache = decoder.init_cache(cfg, 2, 16)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unstack"):
+        decoder.forward(stacked, cfg, input_ids=ids, cache=cache)

@@ -86,3 +86,23 @@ def test_exported_moe_keys_use_deepspeed_naming(tmp_path):
     assert "model.layers.1.mlp.up_proj.weight" in state
     # projector exported under the reference's key layout
     assert "model.mm_projector.image_spatial_proj.0.weight" in state
+
+
+def test_pool_projector_roundtrip():
+    """pool_mlp2x_gelu export uses the Pool_Block 'block.' Sequential keys
+    (reference pool_block.py:18) and round-trips."""
+    import jax
+
+    from llavamod_tpu.interop.hf import (projector_params_from_hf,
+                                         projector_params_to_hf)
+    from llavamod_tpu.models.projector import build_projector
+
+    proj = build_projector("pool_mlp2x_gelu", 16, 24)
+    params = proj.init(jax.random.PRNGKey(0))
+    state = projector_params_to_hf(params, "pool_mlp2x_gelu")
+    assert "model.mm_projector.image_spatial_proj.block.0.weight" in state
+    assert "model.mm_projector.image_spatial_proj.block.2.bias" in state
+    back = projector_params_from_hf(state, "pool_mlp2x_gelu")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
