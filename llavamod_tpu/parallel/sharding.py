@@ -44,14 +44,21 @@ def _path_str(path) -> str:
 
 
 def _spec_for(path: str, ndim: int) -> P:
-    """Sharding rule lookup by parameter path and rank."""
+    """Sharding rule lookup by parameter path and rank.
+
+    Pre-stacked layer trees (decoder.stack_layers) carry a leading
+    layers-per-period axis ('layers/stacked/{j}/...'): it stays unsharded
+    (scanned over) and the usual rules apply to the trailing dims."""
     is_expert = "/experts/" in path
-    base_ndim = ndim - 1 if is_expert else ndim
+    is_stacked = "/stacked/" in path
+    lead = (["expert"] if is_expert else []) + ([None] if is_stacked else [])
+    base_ndim = ndim - len(lead)
 
     def wrap(spec_dims):
-        if is_expert:
-            return P("expert", *spec_dims)
-        return P(*spec_dims)
+        if is_stacked and is_expert:
+            # stacked MoE experts: [reps, E, ...] — reps leads, then expert
+            return P(None, "expert", *spec_dims)
+        return P(*lead, *spec_dims)
 
     if base_ndim <= 1:
         return wrap([None] * base_ndim)  # norms, biases, scalars

@@ -104,6 +104,12 @@ class TrainArgs:
     # T-sharded, cutting norm/residual activation memory by tensor_parallel.
     # Beyond-reference (SURVEY §2.10 lists SP as absent upstream).
     sequence_parallel: bool = False
+    # Pre-stack the decoder layer trees outside the jitted step
+    # (decoder.stack_layers).  Without it, the step's layer scan re-stacks
+    # ALL weights into an HLO temp every call — one full extra weight copy
+    # of HBM traffic per step (measured +5.3% step throughput on v5e when
+    # removed).  Auto-disabled with LoRA (adapter paths are per-layer).
+    prestack_layers: bool = True
 
 
 @dataclasses.dataclass
