@@ -96,7 +96,7 @@ def bench_distill(cfg_name: str = "default"):
         # (~2.2B activated), 7B-class teacher, max_len 2048.
         defaults = dict(BENCH_BATCH="1", BENCH_SEQ="2048", BENCH_STEPS="20",
                         BENCH_STUDENT="1.8b", BENCH_TEACHER="7b",
-                        BENCH_REMAT="1")
+                        BENCH_REMAT="1", BENCH_EMBED_QUANT="1")
         if cfg_name == "flagship_fit":
             # record train set (all FFN + router) needs ~8.1 GB adam state
             # + 4.1 GB grads on top of 14.5 GB params — router-only is the
@@ -218,13 +218,26 @@ def bench_distill(cfg_name: str = "default"):
 
     # shared frozen tower: the teacher tree drops its vision copy
     teacher_params = {k: v for k, v in teacher_params.items() if k != "vision"}
+    # int8 embedding tables (frozen in every recipe here): halves the
+    # [151936, D] tables' HBM (0.62 GB each at D=2048/4096) — part of the
+    # flagship_fit margin; dequantized on gather (decoder.embed)
+    embed_quant = env("BENCH_EMBED_QUANT", "0") == "1"
     if teacher_quant in ("int8", "int8_head"):
         teacher_params = dict(teacher_params)
         teacher_params["llm"] = decoder.quantize_decoder_int8(
             teacher_params["llm"],
-            include_lm_head=(teacher_quant == "int8_head"))
+            include_lm_head=(teacher_quant == "int8_head"),
+            include_embed=embed_quant)
         log(f"teacher attention/MLP weights quantized to int8"
-            + (" + int8 LM head" if teacher_quant == "int8_head" else ""))
+            + (" + int8 LM head" if teacher_quant == "int8_head" else "")
+            + (" + int8 embed" if embed_quant else ""))
+    if embed_quant:
+        w_e = student_params["llm"]["embed"]["embedding"]
+        student_params["llm"] = dict(student_params["llm"])
+        student_params["llm"]["embed"] = {"embedding": {
+            **decoder.quantize_head_int8(w_e),
+            "dtype_ref": jnp.zeros((0,), w_e.dtype)}}
+        log("student embedding table quantized to int8 (frozen in recipe)")
     # Pre-stack layer trees outside the step: without this the jitted
     # step's layer scan re-stacks ALL weights into an HLO temp every call —
     # an extra full weight copy per step (fatal 8.4 GB peak for the int8 7B
@@ -250,7 +263,19 @@ def bench_distill(cfg_name: str = "default"):
     # estimate.  BENCH_STUDENT_HEAD_QUANT=0 for the bf16 student head.
     if os.environ.get("BENCH_STUDENT_HEAD_QUANT", "1") == "1":
         tcfg = tcfg.replace(student_head_quant=True)
-        log("student LM head quantized to int8 (frozen-head recipe)")
+        # Pre-quantize OUTSIDE the step: the head is frozen in this recipe,
+        # so per-step quantization recomputes the identical int8 copy every
+        # call — a [V, D] elementwise pass plus a 0.31 GB HLO temp that was
+        # part of the flagship_fit OOM margin.  _student_forward sees the
+        # dict and skips the live quantization path.
+        if "lm_head" in student_params["llm"]:
+            student_params["llm"] = dict(student_params["llm"])
+            student_params["llm"]["lm_head"] = {
+                "weight": decoder.quantize_head_int8(
+                    student_params["llm"]["lm_head"]["weight"])}
+            log("student LM head pre-quantized to int8 (frozen-head recipe)")
+        else:
+            log("student LM head quantized to int8 per-step (tied embeddings)")
 
     state = TrainState.create(student_params, tcfg)
     step = make_align_step(student_llava, teacher_llava, tcfg)

@@ -267,7 +267,8 @@ def quantize_experts_int8(experts: Params) -> Params:
 
 def quantize_decoder_int8(params: Params,
                           include_lm_head: bool = False,
-                          include_experts: bool = False) -> Params:
+                          include_experts: bool = False,
+                          include_embed: bool = False) -> Params:
     """Quantize every layer's attention/MLP weights to int8 (embed and norms
     stay float).  include_lm_head additionally quantizes the output head —
     per-vocab-row scales, consumed on the int8 MXU by the chunked KD losses
@@ -282,6 +283,15 @@ def quantize_decoder_int8(params: Params,
         out["lm_head"] = {"weight": quantize_head_int8(w)}
         if "lm_head" in params and "bias" in params["lm_head"]:
             out["lm_head"]["bias"] = params["lm_head"]["bias"]
+    if include_embed:
+        # int8 embedding table (per-row scales, decoder.embed dequantizes on
+        # gather).  For tied models with include_lm_head, the int8 head copy
+        # above already carries the same values — the float table is the one
+        # to drop, so both flags together halve it once.
+        w_e = params["embed"]["embedding"]
+        out["embed"] = {"embedding": {
+            **quantize_head_int8(w_e),
+            "dtype_ref": jnp.zeros((0,), w_e.dtype)}}
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
@@ -971,7 +981,18 @@ def forward(
 
 
 def embed(params: Params, cfg: DecoderConfig, input_ids: jnp.ndarray) -> jnp.ndarray:
-    e = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+    w = params["embed"]["embedding"]
+    if isinstance(w, dict) and "w_int8" in w:
+        # int8 embedding table (quantize_head_int8 layout: per-row scales):
+        # gather int8 rows + their scales, dequantize — halves the table's
+        # HBM footprint for frozen-embedding recipes.  'dtype_ref' is a
+        # zero-size array carrying the original activation dtype.
+        rows = jnp.take(w["w_int8"], input_ids, axis=0).astype(jnp.float32)
+        scale = jnp.take(w["scale"], input_ids, axis=0)[..., None]
+        tgt = w["dtype_ref"].dtype if "dtype_ref" in w else jnp.bfloat16
+        e = (rows * scale).astype(tgt)
+    else:
+        e = jnp.take(w, input_ids, axis=0)
     if cfg.embed_scale is not None:
         e = (e.astype(jnp.float32) * cfg.embed_scale).astype(e.dtype)
     return e

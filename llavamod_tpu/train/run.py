@@ -520,6 +520,27 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         rank0_print("[mesh] sequence parallelism on: residual stream "
                     f"T-sharded over tensor={targs.tensor_parallel}")
 
+    # Frozen-head recipes with --policy_head_quant: pre-quantize the student
+    # head OUTSIDE the step — identical numerics (the head never updates),
+    # and it removes the per-step [V, D] quantize pass + its 0.31 GB int8
+    # HLO temp (part of the flagship OOM margin, BENCH_NOTES.md).  Tied-
+    # embedding models keep the per-step path (the float embedding must
+    # stay for input lookup).
+    float_head_stash = None
+    if (tcfg.student_head_quant and lora_cfg is None
+            and "lm_head" in params.get("llm", {})):
+        from llavamod_tpu.models.llm.decoder import quantize_head_int8
+
+        params = dict(params)
+        params["llm"] = dict(params["llm"])
+        # stash the frozen float head on HOST (numpy) so checkpoints export
+        # it; only the int8 copy lives in HBM during training
+        float_head_stash = np.asarray(params["llm"]["lm_head"]["weight"])
+        params["llm"]["lm_head"] = {"weight": quantize_head_int8(
+            params["llm"]["lm_head"]["weight"])}
+        rank0_print("[build] student LM head pre-quantized to int8 "
+                    "(frozen-head recipe; float head stashed on host)")
+
     # Pre-stack the decoder layer trees (decoder.stack_layers): the layer
     # scan otherwise re-stacks ALL weights into an HLO temp on every step —
     # one full extra weight copy of HBM traffic (measured +5.3% step
@@ -616,6 +637,13 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
 
+        if float_head_stash is not None:
+            # restore the frozen float head for export (the int8 copy was a
+            # training-time stand-in; it never received updates)
+            p = dict(state.params)
+            p["llm"] = dict(p["llm"])
+            p["llm"]["lm_head"] = {"weight": float_head_stash}
+            state = state._replace(params=p)
         final_save(targs.output_dir, cfg, state, lora_cfg, margs, tcfg)
     return last_metrics
 

@@ -89,6 +89,24 @@ def _effective_params(params, lora_cfg):
     return params
 
 
+def _grad_fn(loss_fn):
+    """value_and_grad that tolerates int8 leaves in the param tree
+    (pre-quantized frozen heads): int leaves get float0 tangents
+    (allow_int), which we replace with broadcastable scalar zeros so the
+    masked optimizer (set_to_zero for frozen) and apply_updates pass
+    through untouched."""
+    vg = jax.value_and_grad(loss_fn, has_aux=True, allow_int=True)
+
+    def run(params, *args):
+        out, grads = vg(params, *args)
+        grads = jax.tree_util.tree_map(
+            lambda g: (jnp.zeros((), jnp.float32)
+                       if g.dtype == jax.dtypes.float0 else g), grads)
+        return out, grads
+
+    return run
+
+
 def _stop_frozen(params, tcfg: TrainConfig, lora_cfg=None):
     """stop_gradient every frozen param so XLA dead-code-eliminates their
     backward (the optimizer's set_to_zero masking alone still pays for the
@@ -168,8 +186,7 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: MultimodalBatch) -> Tuple[TrainState, Metrics]:
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+        (_, metrics), grads = _grad_fn(loss_fn)(state.params, batch)
         updates, new_opt = opt(state.params).update(grads, state.opt_state,
                                                     state.params)
         params = optax.apply_updates(state.params, updates)
@@ -253,7 +270,7 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, teacher_params, batch: MultimodalBatch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, metrics), grads = _grad_fn(loss_fn)(
             state.params, teacher_params, batch)
         updates, new_opt = opt(state.params).update(grads, state.opt_state,
                                                     state.params)
@@ -347,7 +364,7 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, ref_params, batch2b):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, metrics), grads = _grad_fn(loss_fn)(
             state.params, ref_params, batch2b)
         updates, new_opt = opt(state.params).update(grads, state.opt_state,
                                                     state.params)

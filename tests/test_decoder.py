@@ -325,3 +325,28 @@ def test_stack_layers_roundtrip_and_forward_equivalence():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unstack"):
         decoder.forward(stacked, cfg, input_ids=ids, cache=cache)
+
+
+def test_int8_embedding_table():
+    """quantize_decoder_int8(include_embed=True): int8 table dequantized on
+    gather; tied models still produce logits via the int8 head copy."""
+    import numpy as np
+
+    from llavamod_tpu.models.llm.config import tiny_config
+
+    for tied in (False, True):
+        cfg = tiny_config(tie_word_embeddings=tied)
+        params = decoder.init(cfg, jax.random.PRNGKey(0))
+        q = decoder.quantize_decoder_int8(params, include_lm_head=True,
+                                          include_embed=True)
+        assert "w_int8" in q["embed"]["embedding"]
+        ids = jnp.asarray(np.random.RandomState(0).randint(0, 512,
+                                                           size=(2, 6)))
+        e_ref = np.asarray(decoder.embed(params, cfg, ids), np.float32)
+        e_q = np.asarray(decoder.embed(q, cfg, ids), np.float32)
+        # per-row int8: <1% relative error on gathered rows
+        denom = np.maximum(np.abs(e_ref).max(), 1e-6)
+        assert np.abs(e_q - e_ref).max() / denom < 0.02
+        out = decoder.forward(q, cfg, input_ids=ids, train=False)
+        logits = decoder.logits_from_hidden(q, cfg, out.hidden)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -289,3 +289,31 @@ def test_pretrain_step_converges_on_fixed_batch():
     last = float(metrics["loss"])
     assert np.isfinite(last)
     assert last < 0.6 * first, (first, last)
+
+
+def test_align_with_policy_head_quant_prequantizes_and_exports_float(stage_dirs):
+    """End-to-end align with --policy_head_quant: the head is pre-quantized
+    outside the step (run.py stash) and the EXPORTED checkpoint carries the
+    original float head, not the int8 training stand-in."""
+    tmp_path, model_dir, data, imgs = stage_dirs
+    stage1 = str(tmp_path / "out1")
+    out = str(tmp_path / "out_hq")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=stage1, version="qwen", moe_enable=True,
+                  moe_mode="sparse", num_experts=4, top_k_experts=2,
+                  train_modules=["mlp.gate_proj", "mlp.up_proj",
+                                 "mlp.down_proj", "wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, model_max_length=256),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir,
+                         policy_head_quant=True),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    cfg2, params2 = load_model(out)
+    head = params2["llm"].get("lm_head")
+    if head is not None:  # untied student: float head restored on export
+        w = head["weight"]
+        assert not isinstance(w, dict), "int8 stand-in leaked into export"
+        assert np.asarray(w).dtype != np.int8
