@@ -68,6 +68,11 @@ def cmd_generate(args) -> None:
 
     tokenizer, params, cfg, pp, _ = load_pretrained_model(
         args.model_path, args.model_base)
+    if args.quant == "int8":
+        from llavamod_tpu.models.builder import quantize_for_serving
+
+        params = quantize_for_serving(params, cfg)
+        print("[load] int8-W8A8 serving quantization applied")
     template = args.conv_mode or conv_lib.infer_template_name(args.model_path)
     runner = VQARunner(params, cfg, tokenizer, pp, template_name=template,
                        batch_size=args.batch_size,
@@ -77,7 +82,8 @@ def cmd_generate(args) -> None:
     gcfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, temperature=args.temperature,
         top_p=args.top_p, eos_token_ids=eos_ids, stop_sequences=stop_seqs,
-        pad_token_id=tokenizer.pad_token_id or 0)
+        pad_token_id=tokenizer.pad_token_id or 0,
+        cache_dtype=args.kv_cache_dtype)
     runner.run(questions, args.image_folder, args.answers_file, gcfg)
     print(f"wrote {args.answers_file} ({len(questions)} questions)")
 
@@ -240,6 +246,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--dump-gating", default=None,
                    help=".npz router-prob dump (reference "
                         "--return-gating-logit)")
+    g.add_argument("--quant", default="", choices=["", "int8"],
+                   help="int8 = W8A8 serving (attn/MLP/experts/head/embed "
+                        "on the int8 MXU; the TPU answer to the "
+                        "reference's --load-8bit)")
+    g.add_argument("--kv-cache-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8"],
+                   help="KV cache dtype (int8 halves cache HBM+bandwidth)")
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="merge chunked answers jsonl")

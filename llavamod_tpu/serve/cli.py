@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--stream-chunk", type=int, default=8,
                     help="tokens decoded per jitted chunk between prints "
                          "(0 = print only the full reply)")
+    ap.add_argument("--quant", default="", choices=["", "int8"],
+                    help="int8 = W8A8 serving (TPU answer to the "
+                         "reference's --load-8bit)")
+    ap.add_argument("--kv-cache-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "int8"])
     args = ap.parse_args()
 
     from llavamod_tpu import conversation as conv_lib
@@ -49,6 +54,11 @@ def main():
 
     tokenizer, params, cfg, pp, _ = load_pretrained_model(
         args.model_path, args.model_base)
+    if args.quant == "int8":
+        from llavamod_tpu.models.builder import quantize_for_serving
+
+        params = quantize_for_serving(params, cfg)
+        print("[load] int8-W8A8 serving quantization applied")
     template = args.conv_mode or conv_lib.infer_template_name(args.model_path)
     print(f"[conv template: {template}]")
 
@@ -61,7 +71,8 @@ def main():
     gcfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, temperature=args.temperature,
         eos_token_ids=eos_ids, stop_sequences=stop_seqs,
-        pad_token_id=tokenizer.pad_token_id or 0)
+        pad_token_id=tokenizer.pad_token_id or 0,
+        cache_dtype=args.kv_cache_dtype)
 
     first_turn = True
     while True:

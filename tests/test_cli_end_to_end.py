@@ -141,3 +141,27 @@ def test_serve_cli_stream_matches_nostream(model_dir):
         return reply[0].split("ASSISTANT:", 1)[1].strip()
 
     assert run(0) == run(4)
+
+
+def test_eval_generate_cli_int8_serving(model_dir):
+    """--quant int8 --kv-cache-dtype int8: the W8A8 serving path drives the
+    full eval generate CLI end-to-end."""
+    d, imgs, tmp = model_dir
+    qfile = tmp / "q8.jsonl"
+    with open(qfile, "w") as fh:
+        for i in range(2):
+            fh.write(json.dumps({"question_id": i, "text": "describe",
+                                 "image": f"i{i}.png"}) + "\n")
+    ans = tmp / "ans8.jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "llavamod_tpu.eval.cli", "generate",
+         "--task", "generic", "--model-path", d,
+         "--question-file", str(qfile), "--image-folder", imgs,
+         "--answers-file", str(ans), "--conv-mode", "qwen",
+         "--batch-size", "2", "--max-new-tokens", "4",
+         "--quant", "int8", "--kv-cache-dtype", "int8"],
+        env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "int8-W8A8 serving" in r.stdout
+    rows = [json.loads(l) for l in open(ans)]
+    assert len(rows) == 2 and all("text" in row for row in rows)
