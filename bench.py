@@ -15,6 +15,7 @@ CLIP-ViT-L/336 tower, T=1024, bf16.  Scale knobs via env: BENCH_BATCH,
 BENCH_SEQ, BENCH_STEPS.
 """
 
+import functools
 import json
 import os
 import sys
@@ -165,32 +166,25 @@ def bench_distill(cfg_name: str = "default"):
     k1, k2, k3 = jax.random.split(key, 3)
     import llavamod_tpu.models.vision.vit as vit
 
+    # NOTE on build placement: arrays built on the HOST and device_put make
+    # the step 6x slower (XLA compiles host-layout parameters and converts
+    # per call — measured 14,330 -> 2,510 tok/s on the default config) and
+    # the per-call converted copies blow HBM for flagship shapes.  So ALL
+    # trees are built ON DEVICE.  HBM-peak discipline for flagship shapes
+    # (13.8 GB of params on a 15.75 GB chip):
+    #   * the student is fully built (upcycle, quant, prestack) BEFORE the
+    #     big teacher materializes;
+    #   * temporaries are del'd as soon as their tree is final — a stray
+    #     name keeping the pre-stack layer list alive is ~5 GB dead;
+    #   * the big teacher is written layer-by-layer INTO a donated
+    #     pre-stacked int8 buffer (peak = final tree + ONE bf16 layer),
+    #     never as a whole bf16 tree (15.4 GB) or an unstacked list.
     vision_params = vit.init(vis_cfg, k3, dtype=dtype)
     student_params = llava.init(student_llava, k1, dtype=dtype,
                                 vision_params=vision_params)
+    del vision_params  # shared tree lives on inside student_params
     big_teacher = teacher_size in ("4b", "7b")
-    if big_teacher:
-        # A 7B-class teacher in bf16 (15.4 GB) would OOM the chip BEFORE
-        # int8 quantization; build it on the host (numpy fill — jax's
-        # counter RNG takes tens of minutes for 7.7B params on CPU; bench
-        # values only need realistic scale), quantize on host CPU, ship
-        # only the int8 tree to the device.
-        cpu = jax.devices("cpu")[0]
-        log(f"initializing the {teacher_size} teacher on host "
-            f"(too big for HBM in bf16)...")
-        shapes = jax.eval_shape(
-            lambda: llava.init(teacher_llava, k2, dtype=dtype,
-                               vision_params=None))
-        rng = np.random.RandomState(0)
-        with jax.default_device(cpu):
-            teacher_params = jax.tree_util.tree_map(
-                lambda s: jnp.asarray(
-                    rng.standard_normal(s.shape).astype(np.float32) * 0.02,
-                    dtype=s.dtype),
-                shapes)
-    else:
-        teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
-                                    vision_params=vision_params)
+    embed_q = env("BENCH_EMBED_QUANT", "0") == "1"
 
     if use_moe:
         moe_llm_cfg, moe_llm_params = upcycle(
@@ -201,6 +195,7 @@ def bench_distill(cfg_name: str = "default"):
             moe_llm_cfg = moe_llm_cfg.replace(moe_gating_group_size=moe_group)
         student_llava = student_llava.replace(llm=moe_llm_cfg)
         student_params["llm"] = moe_llm_params
+        del moe_llm_params  # alias would pin the pre-stack tree post-stack
 
     # recipe of record: FFN (experts) + router train, rest frozen
     # (dense2sparse_distillation.sh:56 --train_modules ... wg); frozen
@@ -216,45 +211,19 @@ def bench_distill(cfg_name: str = "default"):
                        train_modules=train_modules,
                        total_steps=10_000, max_grad_norm=1.0)
 
-    # shared frozen tower: the teacher tree drops its vision copy
-    teacher_params = {k: v for k, v in teacher_params.items() if k != "vision"}
+    prestack = os.environ.get("BENCH_PRESTACK", "1") == "1" and scan
     # int8 embedding tables (frozen in every recipe here): halves the
     # [151936, D] tables' HBM (0.62 GB each at D=2048/4096) — part of the
     # flagship_fit margin; dequantized on gather (decoder.embed)
-    embed_quant = env("BENCH_EMBED_QUANT", "0") == "1"
-    if teacher_quant in ("int8", "int8_head"):
-        teacher_params = dict(teacher_params)
-        teacher_params["llm"] = decoder.quantize_decoder_int8(
-            teacher_params["llm"],
-            include_lm_head=(teacher_quant == "int8_head"),
-            include_embed=embed_quant)
-        log(f"teacher attention/MLP weights quantized to int8"
-            + (" + int8 LM head" if teacher_quant == "int8_head" else "")
-            + (" + int8 embed" if embed_quant else ""))
+    embed_quant = embed_q
     if embed_quant:
         w_e = student_params["llm"]["embed"]["embedding"]
         student_params["llm"] = dict(student_params["llm"])
         student_params["llm"]["embed"] = {"embedding": {
             **decoder.quantize_head_int8(w_e),
             "dtype_ref": jnp.zeros((0,), w_e.dtype)}}
+        del w_e
         log("student embedding table quantized to int8 (frozen in recipe)")
-    # Pre-stack layer trees outside the step: without this the jitted
-    # step's layer scan re-stacks ALL weights into an HLO temp every call —
-    # an extra full weight copy per step (fatal 8.4 GB peak for the int8 7B
-    # teacher: flagship_fit OOM'd at 24.99G/15.75G before this).
-    if os.environ.get("BENCH_PRESTACK", "1") == "1" and scan:
-        student_params["llm"] = decoder.stack_layers(
-            student_llava.llm, student_params["llm"])
-        teacher_params["llm"] = decoder.stack_layers(
-            teacher_llava.llm, teacher_params["llm"])
-        log("layer trees pre-stacked for the scan (no per-step restack)")
-    if big_teacher:
-        t0 = time.time()
-        teacher_params = jax.device_put(teacher_params, jax.devices()[0])
-        jax.block_until_ready(teacher_params)
-        log(f"int8 teacher shipped to device in {time.time() - t0:.1f}s")
-    log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
-        f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
     # int8 student LM head (W8A8 on the student side of the KD loss),
     # default ON: the bench workload IS the frozen-head recipe of record
@@ -276,6 +245,105 @@ def bench_distill(cfg_name: str = "default"):
             log("student LM head pre-quantized to int8 (frozen-head recipe)")
         else:
             log("student LM head quantized to int8 per-step (tied embeddings)")
+
+    # Pre-stack layer trees outside the step: without this the jitted
+    # step's layer scan re-stacks ALL weights into an HLO temp every call —
+    # an extra full weight copy per step (fatal 8.4 GB peak for the int8 7B
+    # teacher: flagship_fit OOM'd at 24.99G/15.75G before this).  The
+    # student is stacked BEFORE the teacher exists: the stack's transient
+    # (old + new tree) is the setup's HBM high-water mark.
+    if prestack:
+        student_params["llm"] = decoder.stack_layers(
+            student_llava.llm, student_params["llm"])
+        jax.block_until_ready(jax.tree_util.tree_leaves(student_params)[0])
+
+    if big_teacher:
+        # A 7B-class teacher in bf16 (15.4 GB) would OOM the chip if
+        # initialized whole; an unstacked int8 layer list (then re-stacked)
+        # would transiently double it.  Instead each layer is initialized +
+        # quantized on device and written straight into a DONATED
+        # pre-stacked int8 buffer: peak = final tree + one bf16 layer.
+        log(f"initializing the {teacher_size} teacher on device, "
+            f"layer-by-layer int8 into the stacked buffer...")
+        assert decoder._layer_period(teacher_llm) == 1
+
+        def _q_layer(lk):
+            lp = decoder.init_layer(teacher_llm, lk, dtype=dtype)
+            attn = {k: (decoder.quantize_dense_int8(v)
+                        if k in ("wq", "wk", "wv", "wo") else v)
+                    for k, v in lp["attn"].items()}
+            mlp = {k: (decoder.quantize_dense_int8(v)
+                       if k in ("gate", "up", "down") else v)
+                   for k, v in lp["mlp"].items()}
+            return {**lp, "attn": attn, "mlp": mlp}
+
+        tk = jax.random.split(k2, teacher_llm.num_layers + 3)
+        lshape = jax.eval_shape(_q_layer, tk[1])
+        stacked = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros((teacher_llm.num_layers,) + sh.shape,
+                                 sh.dtype), lshape)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _fill(buf, lk, i):
+            return jax.tree_util.tree_map(
+                lambda b_, leaf: jax.lax.dynamic_update_index_in_dim(
+                    b_, leaf, i, 0), buf, _q_layer(lk))
+
+        for i in range(teacher_llm.num_layers):
+            stacked = _fill(stacked, tk[i + 1], jnp.int32(i))
+        jax.block_until_ready(jax.tree_util.tree_leaves(stacked)[0])
+
+        @jax.jit
+        def _q_head(hk):
+            w = (jax.random.normal(
+                hk, (teacher_llm.vocab_size, teacher_llm.hidden_size),
+                jnp.float32) * 0.02)
+            head = decoder.quantize_head_int8(w)
+            if embed_q:
+                emb = {**decoder.quantize_head_int8(w),
+                       "dtype_ref": jnp.zeros((0,), dtype)}
+            else:
+                emb = w.astype(dtype)
+            return head, emb
+
+        t_head, t_embed = _q_head(tk[0])
+        proj = teacher_llava.build_projector()
+        teacher_params = {
+            "llm": {
+                "embed": {"embedding": t_embed},
+                "layers": ({"stacked": [stacked]} if prestack
+                           else decoder.unstack_layers(
+                               teacher_llm,
+                               {"layers": {"stacked": [stacked]}})["layers"]),
+                "final_norm": {"weight": jnp.ones(
+                    (teacher_llm.hidden_size,), dtype)},
+                "lm_head": {"weight": t_head},
+            },
+            "projector": proj.init(tk[-1], dtype=dtype),
+        }
+        del stacked, t_head, t_embed
+        log("int8 teacher built on device (stacked)")
+    else:
+        teacher_params = llava.init(teacher_llava, k2, dtype=dtype,
+                                    vision_params=student_params["vision"])
+        # shared frozen tower: the teacher tree drops its vision copy
+        teacher_params = {k: v for k, v in teacher_params.items()
+                          if k != "vision"}
+        if teacher_quant in ("int8", "int8_head"):
+            teacher_params["llm"] = decoder.quantize_decoder_int8(
+                teacher_params["llm"],
+                include_lm_head=(teacher_quant == "int8_head"),
+                include_embed=embed_quant)
+            log(f"teacher attention/MLP weights quantized to int8"
+                + (" + int8 LM head" if teacher_quant == "int8_head" else "")
+                + (" + int8 embed" if embed_quant else ""))
+        if prestack:
+            teacher_params["llm"] = decoder.stack_layers(
+                teacher_llava.llm, teacher_params["llm"])
+    if prestack:
+        log("layer trees pre-stacked for the scan (no per-step restack)")
+    log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
+        f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
     state = TrainState.create(student_params, tcfg)
     step = make_align_step(student_llava, teacher_llava, tcfg)
