@@ -34,6 +34,16 @@ class ModelArgs:
     image_tower: str = "clip-vit-l-336"
     image_projector_type: str = "mlp2x_gelu"
 
+    # --- video projector (config/args.py:25-30; the reference's video
+    # TOWERS are stubbed, multimodal_encoder/builder.py:39-44, so these
+    # drive models/video.py only.  'temproal' keeps the reference's CLI
+    # spelling.) ---
+    video_tower: Optional[str] = None
+    video_projector_type: str = "linear"
+    video_global_proj: bool = False
+    video_temproal_proj: bool = False
+    video_spatial_proj: bool = False
+
     # --- LoRA (train/train.py:300-331, align_train.py:290-327) ---
     lora_enable: bool = False
     lora_r: int = 128
