@@ -9,10 +9,12 @@ Prints ONE JSON line:
 vs_baseline = achieved model FLOPs utilization / 0.40 (the 40%-MFU north
 star from BASELINE.md; the reference repo publishes no throughput numbers).
 
-Sizes are chosen to fit one v5e (16 GB): Qwen1.5-0.5B student upcycled to a
-4-expert top-2 MoE (every 2nd layer), Qwen1.5-1.8B-class teacher, shared
-CLIP-ViT-L/336 tower, T=1024, bf16.  Scale knobs via env: BENCH_BATCH,
-BENCH_SEQ, BENCH_STEPS.
+The default (headline) workload is BENCH_CONFIG=flagship_fit — the config
+of record's shapes on one v5e (16 GB): Qwen1.5-1.8B student upcycled to a
+4-expert top-2 MoE every 2nd layer (2.24B activated), int8-W8A8 7B-class
+teacher, shared CLIP-ViT-L/336 tower, T=2048, bf16, fused KD+CE.  See
+main() for the other configs; scale knobs via env: BENCH_BATCH, BENCH_SEQ,
+BENCH_STEPS, ... (grep env( below).
 """
 
 import functools
@@ -56,20 +58,24 @@ def _summarize_profile(profile_dir: str, top: int = 40):
 
 def main():
     """Dispatch on BENCH_CONFIG:
-      default      — 0.5B-MoE student + 1.8B int8 teacher, T=1024 (headline)
-      flagship     — the config of record (1.8B->MoE student, 7B int8
-                     teacher, T=2048, record train set).  Does NOT fit one
-                     v5e (see BENCH_NOTES HBM budget) — attempts anyway so
-                     the OOM wall is on the record.
-      flagship_fit — largest faithful instantiation of the flagship that
-                     fits 16 GB: record shapes (student/teacher/T), router-
-                     only train set (the record's FFN dw/opt state alone
-                     exceeds HBM); honest FLOPs accounting.
+      flagship_fit — THE HEADLINE (default): largest faithful
+                     instantiation of the config of record that fits one
+                     v5e — record shapes (1.8B->4-expert-top-2 MoE student
+                     = 3.06B params / 2.24B activated, int8-W8A8 7B-class
+                     teacher, T=2048, fused KD+CE objective), router-only
+                     train set (the record's FFN dw/opt state alone
+                     exceeds 16 GB); honest 4P_s+2P_t FLOPs accounting.
+      flagship     — the record train set too (all FFN + router).  Does
+                     NOT fit one v5e (compile: "25.73G of 15.75G"; see
+                     BENCH_NOTES HBM budget) — attempts anyway so the OOM
+                     wall is on the record.
+      default      — small-config datapoint: 0.5B-MoE student + 1.8B int8
+                     teacher, T=1024 (the round-1 headline).
       eval         — batched cached generation (eval/generate.py path) vs
                      the reference's bs=1 use_cache=False algorithm
                      (model_vqa_loader.py:118-130) measured on this chip.
     """
-    cfg_name = os.environ.get("BENCH_CONFIG", "default")
+    cfg_name = os.environ.get("BENCH_CONFIG", "flagship_fit")
     if cfg_name == "eval":
         return bench_eval()
     return bench_distill(cfg_name)
@@ -94,10 +100,14 @@ def bench_distill(cfg_name: str = "default"):
     if cfg_name in ("flagship", "flagship_fit"):
         # Config of record (BASELINE.json / docs/TRAIN_EVAL.md:3-6,37-45):
         # Qwen1.5-1.8B student upcycled to 4-expert top-2 every-2nd-layer
-        # (~2.2B activated), 7B-class teacher, max_len 2048.
+        # (~2.2B activated), 7B-class teacher, max_len 2048, fused KD+CE
+        # (kd_lm, dense2sparse_distillation.sh).  Swept at these shapes:
+        # B=1+full-remat > B=2 (0.653) > remat_policy=moe (0.617); chunk
+        # flat 2048-8192; gating group 1024 > 512 ~ 2048 (BENCH_NOTES).
         defaults = dict(BENCH_BATCH="1", BENCH_SEQ="2048", BENCH_STEPS="20",
                         BENCH_STUDENT="1.8b", BENCH_TEACHER="7b",
-                        BENCH_REMAT="1", BENCH_EMBED_QUANT="1")
+                        BENCH_REMAT="1", BENCH_EMBED_QUANT="1",
+                        BENCH_MOE_GROUP="1024", BENCH_LOSS="kd_lm")
         if cfg_name == "flagship_fit":
             # record train set (all FFN + router) needs ~8.1 GB adam state
             # + 4.1 GB grads on top of 14.5 GB params — router-only is the
@@ -131,9 +141,9 @@ def bench_distill(cfg_name: str = "default"):
     # per-sequence gating groups by default: linear-cost dispatch einsums
     # and DeepSpeed per-rank-batch parity (the reference gates per GPU with
     # per-GPU batch 1, dense2sparse_distillation.sh)
-    moe_group = int(os.environ.get("BENCH_MOE_GROUP", str(t)))
+    moe_group = int(env("BENCH_MOE_GROUP", str(t)))
     remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
-    loss_type = os.environ.get("BENCH_LOSS", "only_kd")  # only_kd|kd_lm
+    loss_type = env("BENCH_LOSS", "only_kd")  # only_kd|kd_lm
     # W8A8 teacher by default, INCLUDING its LM head: attention/MLP and the
     # [151936, 2048] head matmuls (streamed twice per step by the chunked KD
     # loss — fwd + bwd recompute) run on the int8 MXU (2x bf16 peak).
