@@ -80,7 +80,10 @@ class DecoderConfig:
     # 'gather' (default): scatter/gather dispatch — O(E*C*D) data movement
     # instead of the one-hot einsums' O(S*E*C*D) MXU work; bit-identical
     # assignment (tests/test_ops_moe.py).  'einsum': the one-hot contraction
-    # (GSPMD lowers it to all-to-alls under an expert mesh).
+    # (GSPMD lowers it to all-to-alls under an expert mesh).  'ragged': same
+    # gather assignment, but the expert matmuls run as lax.ragged_dot over
+    # only the kept rows — cuts the capacity padding's 1/capacity_factor
+    # extra FLOPs (E*C = capacity_factor*k*S rows -> <= S*k useful rows).
     moe_dispatch: str = "gather"
 
     # --- parallelism strategy (activations) ---

@@ -26,6 +26,8 @@ from llavamod_tpu.ops.moe import (
     moe_ffn,
     moe_ffn_gather,
     moe_ffn_gather_grouped,
+    moe_ffn_ragged,
+    moe_ffn_ragged_grouped,
     top_k_gating,
     top_k_gating_compact,
 )
@@ -361,6 +363,44 @@ def _expert_mlp(cfg: DecoderConfig, experts: Params, xe: jnp.ndarray) -> jnp.nda
     return _expert_dense(h, experts["down"])
 
 
+def _ragged_dense(xr: jnp.ndarray, w, group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """Ragged per-expert matmul: xr [M, D] (rows grouped by expert,
+    group_sizes [E]) @ w [E, D, F] -> [M, F].  Only the sum(group_sizes)
+    kept rows are useful — 1/capacity_factor of the padded [E, C, D] work."""
+    if isinstance(w, dict) and "w_int8" in w:
+        # W8A8 on the ragged layout: per-row dynamic activation scales; the
+        # per-expert weight column scales are gathered per row via the
+        # row -> expert map implied by group_sizes.
+        e = w["w_int8"].shape[0]
+        m = xr.shape[0]
+        ends = jnp.cumsum(group_sizes)
+        row_expert = jnp.searchsorted(ends, jnp.arange(m, dtype=jnp.int32),
+                                      side="right")
+        row_expert = jnp.minimum(row_expert, e - 1).astype(jnp.int32)
+        s_x = jnp.max(jnp.abs(xr.astype(jnp.float32)), axis=-1, keepdims=True)
+        s_x = jnp.maximum(s_x / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xr.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.ragged_dot(xq, w["w_int8"], group_sizes,
+                               preferred_element_type=jnp.int32)
+        s_w = jnp.take(w["scale"].astype(jnp.float32), row_expert, axis=0)
+        return (y.astype(jnp.float32) * s_x * s_w).astype(xr.dtype)
+    return jax.lax.ragged_dot(xr, w, group_sizes,
+                              preferred_element_type=xr.dtype)
+
+
+def _expert_mlp_ragged(cfg: DecoderConfig, experts: Params, xr: jnp.ndarray,
+                       group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """Ragged-layout expert FFN: xr [M, D] -> [M, D] (see moe_ffn_ragged)."""
+    up = _ragged_dense(xr, experts["up"], group_sizes)
+    if cfg.gated_mlp:
+        gate = _ragged_dense(xr, experts["gate"], group_sizes)
+        h = _activation(cfg, gate) * up
+    else:
+        h = _activation(cfg, up)
+    return _ragged_dense(h, experts["down"], group_sizes)
+
+
 def _grouped_moe(cfg: DecoderConfig, gcfg, xs, router_logits, tv, train,
                  expert_fn, group: int):
     """Gate fixed-size token groups independently (linear dispatch cost;
@@ -398,7 +438,9 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     router_logits = xs.astype(jnp.float32) @ p["router"].astype(jnp.float32)
     tv = token_valid.reshape(b * t) if token_valid is not None else None
     expert_fn = functools.partial(_expert_mlp, cfg, p["experts"])
-    gather = cfg.moe_dispatch == "gather"
+    expert_fn_ragged = functools.partial(_expert_mlp_ragged, cfg, p["experts"])
+    gather = cfg.moe_dispatch in ("gather", "ragged")
+    ragged = cfg.moe_dispatch == "ragged"
     group = cfg.moe_gating_group_size
     pad = 0
     if group and b * t > group and (b * t) % group != 0:
@@ -422,8 +464,14 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                    else jnp.ones((g, group), bool))
             comp = jax.vmap(lambda l, v: top_k_gating_compact(
                 l, gcfg, train=train, token_valid=v))(lg, tvg)
-            y = moe_ffn_gather_grouped(
-                xs, comp, e, gcfg.capacity(group, train), group, expert_fn)
+            if ragged:
+                y = moe_ffn_ragged_grouped(
+                    xs, comp, e, gcfg.capacity(group, train), group,
+                    expert_fn_ragged)
+            else:
+                y = moe_ffn_gather_grouped(
+                    xs, comp, e, gcfg.capacity(group, train), group,
+                    expert_fn)
             aux = jnp.mean(comp.aux_loss)
             probs = comp.router_probs.reshape(s, e)
         else:
@@ -439,8 +487,12 @@ def moe_block_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     if gather:
         comp = top_k_gating_compact(router_logits, gcfg, train=train,
                                     token_valid=tv)
-        y = moe_ffn_gather(xs, comp, cfg.moe_num_experts,
-                           gcfg.capacity(b * t, train), expert_fn)
+        if ragged:
+            y = moe_ffn_ragged(xs, comp, cfg.moe_num_experts,
+                               gcfg.capacity(b * t, train), expert_fn_ragged)
+        else:
+            y = moe_ffn_gather(xs, comp, cfg.moe_num_experts,
+                               gcfg.capacity(b * t, train), expert_fn)
         aux, probs = comp.aux_loss, comp.router_probs
     else:
         gate = top_k_gating(router_logits, gcfg, train=train, token_valid=tv)

@@ -237,6 +237,106 @@ def moe_ffn_gather(
     return y.astype(x.dtype)
 
 
+def _ragged_rows(expert, slot, kept, counts, offsets, m):
+    """Shared tail of the ragged layouts: map each kept (token, choice) to
+    its compacted row `offsets[expert] + slot` (dropped -> OOB m), and build
+    the row -> source-token gather index."""
+    r = offsets[expert] + slot
+    r = jnp.where(kept, r, m)                                 # [S, k]
+    flat = r.reshape(-1)
+    s, k = expert.shape
+    token_ids = jnp.repeat(jnp.arange(s, dtype=jnp.int32), k)
+    src = jnp.zeros((m,), jnp.int32).at[flat].set(token_ids, mode="drop")
+    filled = jnp.zeros((m,), jnp.bool_).at[flat].set(True, mode="drop")
+    return r, src, filled
+
+
+def moe_ffn_ragged(
+    x: jnp.ndarray,
+    gating: CompactGating,
+    num_experts: int,
+    capacity: int,
+    expert_fn_ragged: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+) -> jnp.ndarray:
+    """Same routing as moe_ffn_gather, but the experts run as a RAGGED
+    (grouped) matmul over only the kept rows instead of the capacity-padded
+    [E, C, D] batch: E*C = capacity_factor*k*S rows of padded MXU work become
+    <= S*k useful rows (a 1/capacity_factor FLOP cut at the recipe's 1.5).
+
+    Key fact making this O(S*k) layout exact: within an expert, kept slots
+    are assigned by exclusive cumsum (choice-major), so they are contiguous
+    0..count_e-1 — compacting to `offsets[e] + slot` yields the contiguous
+    expert-major row blocks `lax.ragged_dot` requires, with group_sizes =
+    per-expert kept counts.  Identical drops and combine weights.
+
+    x: [S, D]; expert_fn_ragged: ([M, D], group_sizes [E]) -> [M, D].
+    """
+    s, d = x.shape
+    k = gating.expert.shape[1]
+    m = min(s * k, num_experts * capacity)
+
+    kept_i = gating.kept.astype(jnp.int32)
+    counts = jnp.zeros((num_experts,), jnp.int32).at[
+        gating.expert.reshape(-1)].add(kept_i.reshape(-1), mode="drop")
+    offsets = jnp.cumsum(counts) - counts                      # exclusive
+    r, src, filled = _ragged_rows(gating.expert, gating.slot, gating.kept,
+                                  counts, offsets, m)
+
+    xr = jnp.where(filled[:, None], jnp.take(x, src, axis=0), 0)
+    yr = expert_fn_ragged(xr, counts)
+
+    picked = jnp.take(yr, jnp.minimum(r, m - 1).reshape(s * k),
+                      axis=0).reshape(s, k, d)
+    picked = jnp.where(gating.kept[..., None], picked, 0)      # no NaN leak
+    w = gating.weight.astype(jnp.float32)[..., None]
+    y = jnp.sum(picked.astype(jnp.float32) * w, axis=1)
+    return y.astype(x.dtype)
+
+
+def moe_ffn_ragged_grouped(
+    x: jnp.ndarray,
+    gating: CompactGating,
+    num_experts: int,
+    capacity: int,
+    group: int,
+    expert_fn_ragged: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+) -> jnp.ndarray:
+    """Ragged dispatch for per-group gating (fields [G, group, k]): each
+    expert's row block is the group-major concatenation of every group's
+    kept rows for that expert (slot offsets chain per-group counts), so one
+    ragged matmul covers all groups.  x: [G*group, D] -> [G*group, D]."""
+    s, d = x.shape
+    e = num_experts
+    g_n, grp, k = gating.expert.shape
+    assert g_n * grp == s, (gating.expert.shape, s)
+    m = min(s * k, e * g_n * capacity)
+
+    kept_i = gating.kept.astype(jnp.int32)                     # [G, grp, k]
+    # per-(group, expert) kept counts -> within-expert group bases
+    counts_ge = jnp.zeros((g_n, e), jnp.int32).at[
+        jnp.arange(g_n, dtype=jnp.int32)[:, None, None],
+        gating.expert].add(kept_i, mode="drop")
+    counts = jnp.sum(counts_ge, axis=0)                        # [E]
+    offsets = jnp.cumsum(counts) - counts
+    base_ge = jnp.cumsum(counts_ge, axis=0) - counts_ge        # [G, E]
+
+    g_idx = jnp.arange(g_n, dtype=jnp.int32)[:, None, None]
+    slot = base_ge[g_idx, gating.expert] + gating.slot         # [G, grp, k]
+    r, src, filled = _ragged_rows(
+        gating.expert.reshape(s, k), slot.reshape(s, k),
+        gating.kept.reshape(s, k), counts, offsets, m)
+
+    xr = jnp.where(filled[:, None], jnp.take(x, src, axis=0), 0)
+    yr = expert_fn_ragged(xr, counts)
+
+    picked = jnp.take(yr, jnp.minimum(r, m - 1).reshape(s * k),
+                      axis=0).reshape(s, k, d)
+    picked = jnp.where(gating.kept.reshape(s, k)[..., None], picked, 0)
+    w = gating.weight.astype(jnp.float32).reshape(s, k)[..., None]
+    y = jnp.sum(picked.astype(jnp.float32) * w, axis=1)
+    return y.astype(x.dtype)
+
+
 def moe_ffn_gather_grouped(
     x: jnp.ndarray,
     gating: CompactGating,

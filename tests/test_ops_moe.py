@@ -262,3 +262,141 @@ class TestGatherDispatch:
                                    atol=1e-5)
         assert float(outs["gather"].aux_loss) == pytest.approx(
             float(outs["einsum"].aux_loss), rel=1e-6)
+
+
+class TestRaggedDispatch:
+    """moe_ffn_ragged(+_grouped) == the gather path: identical drops and
+    combine weights, experts computed over only the kept rows."""
+
+    def _setup(self, s=64, e=4, d=16, k=2, seed=0):
+        from llavamod_tpu.ops.moe import GatingConfig
+
+        rng = np.random.default_rng(seed)
+        cfg = GatingConfig(num_experts=e, top_k=k, capacity_factor=1.2,
+                           min_capacity=4)
+        logits = jnp.asarray(rng.normal(size=(s, e)), jnp.float32) * 2
+        x = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        tv = jnp.asarray(rng.random(s) > 0.1)
+        w_up = jnp.asarray(rng.normal(size=(e, d, 32)) * 0.2, jnp.float32)
+        w_dn = jnp.asarray(rng.normal(size=(e, 32, d)) * 0.2, jnp.float32)
+
+        def expert_fn(xe):
+            h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w_up))
+            return jnp.einsum("ecf,efd->ecd", h, w_dn)
+
+        def expert_fn_ragged(xr, gsz):
+            h = jax.nn.gelu(jax.lax.ragged_dot(xr, w_up, gsz))
+            return jax.lax.ragged_dot(h, w_dn, gsz)
+
+        return cfg, logits, x, tv, expert_fn, expert_fn_ragged
+
+    @pytest.mark.parametrize("top_k", [1, 2])
+    def test_matches_gather_path(self, top_k):
+        import dataclasses
+
+        from llavamod_tpu.ops.moe import (moe_ffn_gather, moe_ffn_ragged,
+                                          top_k_gating_compact)
+
+        cfg, logits, x, tv, expert_fn, expert_fn_ragged = self._setup(k=top_k)
+        cfg = dataclasses.replace(cfg, top_k=top_k)
+        cap = cfg.capacity(x.shape[0], True)
+
+        def f_gat(x, logits):
+            c = top_k_gating_compact(logits, cfg, train=True, token_valid=tv)
+            return jnp.sum(moe_ffn_gather(x, c, cfg.num_experts, cap,
+                                          expert_fn))
+
+        def f_rag(x, logits):
+            c = top_k_gating_compact(logits, cfg, train=True, token_valid=tv)
+            return jnp.sum(moe_ffn_ragged(x, c, cfg.num_experts, cap,
+                                          expert_fn_ragged))
+
+        y0, g0 = jax.value_and_grad(f_gat, argnums=(0, 1))(x, logits)
+        y1, g1 = jax.value_and_grad(f_rag, argnums=(0, 1))(x, logits)
+        assert float(y0) == pytest.approx(float(y1), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                                   atol=1e-5)
+
+    def test_capacity_drops_match(self):
+        # force heavy drops: tiny deterministic capacity
+        import dataclasses
+
+        from llavamod_tpu.ops.moe import (moe_ffn_gather, moe_ffn_ragged,
+                                          top_k_gating_compact)
+
+        cfg, logits, x, tv, expert_fn, expert_fn_ragged = self._setup()
+        cfg = dataclasses.replace(cfg, deterministic_capacity=5)
+        c = top_k_gating_compact(logits, cfg, train=True, token_valid=tv)
+        assert not bool(np.asarray(c.kept).all())  # drops actually happen
+        y_g = moe_ffn_gather(x, c, cfg.num_experts, 5, expert_fn)
+        y_r = moe_ffn_ragged(x, c, cfg.num_experts, 5, expert_fn_ragged)
+        np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_r),
+                                   atol=1e-6)
+
+    def test_grouped_matches_gather_grouped(self):
+        from llavamod_tpu.ops.moe import (moe_ffn_gather_grouped,
+                                          moe_ffn_ragged_grouped,
+                                          top_k_gating_compact)
+
+        cfg, logits, x, tv, expert_fn, expert_fn_ragged = self._setup()
+        g, grp, e = 2, 32, cfg.num_experts
+        lg = logits.reshape(g, grp, e)
+        tvg = tv.reshape(g, grp)
+        comp = jax.vmap(lambda l, v: top_k_gating_compact(
+            l, cfg, train=True, token_valid=v))(lg, tvg)
+        cap = cfg.capacity(grp, True)
+        y_g = moe_ffn_gather_grouped(x, comp, e, cap, grp, expert_fn)
+        y_r = moe_ffn_ragged_grouped(x, comp, e, cap, grp, expert_fn_ragged)
+        np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_r),
+                                   atol=1e-6)
+
+    def test_decoder_ragged_equals_gather(self):
+        from llavamod_tpu.models.llm import decoder
+        from llavamod_tpu.models.llm.config import tiny_config
+        from llavamod_tpu.models.llm.upcycle import upcycle
+
+        cfg = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64,
+                          vocab_size=128)
+        params = decoder.init(cfg, jax.random.PRNGKey(0))
+        cfg_moe, params_moe = upcycle(cfg, params, moe_mode="sparse",
+                                      num_experts=4, top_k=2)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+        outs = {}
+        for mode in ("gather", "ragged"):
+            c = cfg_moe.replace(moe_dispatch=mode)
+            outs[mode] = decoder.forward(params_moe, c, input_ids=ids,
+                                         train=True)
+        np.testing.assert_allclose(np.asarray(outs["gather"].hidden),
+                                   np.asarray(outs["ragged"].hidden),
+                                   atol=1e-5)
+        assert float(outs["gather"].aux_loss) == pytest.approx(
+            float(outs["ragged"].aux_loss), rel=1e-6)
+
+    def test_decoder_ragged_grouped_int8_experts(self):
+        # grouped gating + int8 expert weights through the ragged path
+        from llavamod_tpu.models.llm import decoder
+        from llavamod_tpu.models.llm.config import tiny_config
+        from llavamod_tpu.models.llm.upcycle import upcycle
+
+        cfg = tiny_config(num_layers=2, hidden_size=32, intermediate_size=64,
+                          vocab_size=128)
+        params = decoder.init(cfg, jax.random.PRNGKey(0))
+        cfg_moe, params_moe = upcycle(cfg, params, moe_mode="sparse",
+                                      num_experts=4, top_k=2)
+        params_q = jax.tree_util.tree_map(lambda x: x, params_moe)  # copy refs
+        for layer in params_q["layers"]:
+            if "experts" in layer.get("mlp", {}):
+                layer["mlp"] = dict(layer["mlp"])
+                layer["mlp"]["experts"] = decoder.quantize_experts_int8(
+                    layer["mlp"]["experts"])
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+        outs = {}
+        for mode in ("gather", "ragged"):
+            c = cfg_moe.replace(moe_dispatch=mode, moe_gating_group_size=8)
+            outs[mode] = decoder.forward(params_q, c, input_ids=ids,
+                                         train=True)
+        np.testing.assert_allclose(np.asarray(outs["gather"].hidden),
+                                   np.asarray(outs["ragged"].hidden),
+                                   atol=2e-2, rtol=1e-2)
