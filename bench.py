@@ -111,8 +111,13 @@ def bench_distill(cfg_name: str = "default"):
         if cfg_name == "flagship_fit":
             # record train set (all FFN + router) needs ~8.1 GB adam state
             # + 4.1 GB grads on top of 14.5 GB params — router-only is the
-            # largest trainable set that leaves the record shapes intact
+            # largest trainable set that leaves the record shapes intact.
+            # With everything but the router frozen, the whole student body
+            # runs int8-W8A8 by default too (+18%, first-step KD-loss delta
+            # 0.0168 on 24.83 ≈ 7e-4 relative; BENCH_STUDENT_BODY_QUANT=0
+            # for the bf16 body)
             defaults["BENCH_TRAIN_MODULES"] = "router"
+            defaults["BENCH_STUDENT_BODY_QUANT"] = "1"
     else:
         defaults = {}
     env = lambda k, d: os.environ.get(k, defaults.get(k, d))
@@ -255,6 +260,22 @@ def bench_distill(cfg_name: str = "default"):
             log("student LM head pre-quantized to int8 (frozen-head recipe)")
         else:
             log("student LM head quantized to int8 per-step (tied embeddings)")
+
+    # int8-W8A8 STUDENT BODY (attention + dense MLP + experts; the router
+    # stays float): valid only when everything but the router is frozen —
+    # the router-only flagship_fit train set.  Forward numerics = the W8A8
+    # serving path; the router gradient flows through the quantized matmuls
+    # via straight-through custom_vjps (decoder.dense_int8 & co), whose
+    # backward dL/dx = g @ W_deq^T itself runs on the int8 MXU.
+    body_quant = env("BENCH_STUDENT_BODY_QUANT", "0") == "1"
+    if body_quant:
+        assert train_set == "router", (
+            "BENCH_STUDENT_BODY_QUANT requires the router-only train set "
+            "(every quantized weight must be frozen)")
+        student_params["llm"] = decoder.quantize_decoder_int8(
+            student_params["llm"], include_experts=True)
+        log("student body quantized to int8 W8A8 (frozen attn/MLP/experts; "
+            "STE backward carries the router grads)")
 
     # Pre-stack layer trees outside the step: without this the jitted
     # step's layer scan re-stacks ALL weights into an HLO temp every call —
@@ -443,6 +464,7 @@ def bench_distill(cfg_name: str = "default"):
                 f"teacher"
                 + (" int8-W8A8" if teacher_quant.startswith("int8") else "")
                 + f", T={t}, bf16"
+                + (", int8-W8A8 student body" if body_quant else "")
                 + (", router-only train set" if train_set == "router" else "")
                 + ")",
         "vs_baseline": round(mfu / 0.40, 3),

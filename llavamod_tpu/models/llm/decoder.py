@@ -208,24 +208,77 @@ def _activation(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(cfg.activation)
 
 
+# --- int8 W8A8 matmuls with straight-through backward ----------------------
+# The int8 dicts were originally forward-only (frozen teacher inference),
+# but a quantized STUDENT body trains too (router-only flagship recipe:
+# every non-router weight is frozen, so W8A8 halves its weight reads and
+# doubles its MXU peak — while the router's gradient still needs dL/dx
+# through every quantized matmul).  jnp.round's zero gradient would kill
+# that path, so each int8 matmul is a custom_vjp whose backward is the
+# straight-through estimate dL/dx = g @ W_deq^T — itself run on the int8
+# MXU (g rows dynamically quantized exactly like forward activations, the
+# same estimate ops/losses.py uses for the int8 student LM head).  The
+# frozen int8 weights get float0 cotangents (train/steps._grad_fn
+# value_and_grad(allow_int=True) turns those into scalar zeros).
+
+def _act_quant_rows(x: jnp.ndarray):
+    """Dynamic symmetric per-row (last-axis) int8 activation quantization."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(s / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _float0(a):
+    import numpy as _np
+
+    return _np.zeros(a.shape, jax.dtypes.float0)
+
+
+def _dense_int8_impl(x, w_int8, scale):
+    xq, s_x = _act_quant_rows(x)
+    y = jax.lax.dot_general(xq, w_int8, (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * s_x
+            * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def dense_int8(x: jnp.ndarray, w_int8: jnp.ndarray,
+               scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 x @ W: x [..., in] @ {w_int8 [in, out], scale [out]}."""
+    return _dense_int8_impl(x, w_int8, scale)
+
+
+def _dense_int8_fwd(x, w_int8, scale):
+    return _dense_int8_impl(x, w_int8, scale), (w_int8, scale)
+
+
+def _dense_int8_bwd(res, g):
+    w_int8, scale = res
+    gs = g.astype(jnp.float32) * scale.astype(jnp.float32)
+    gq, s_g = _act_quant_rows(gs)
+    dx = jax.lax.dot_general(gq, w_int8, (((g.ndim - 1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dx = (dx.astype(jnp.float32) * s_g).astype(g.dtype)
+    return dx, _float0(w_int8), jnp.zeros_like(scale)
+
+
+dense_int8.defvjp(_dense_int8_fwd, _dense_int8_bwd)
+
+
 def dense(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w where w is a plain array OR an int8-quantized dict
     {'w_int8': [in, out] int8, 'scale': [out] fp32}.
 
     Quantized path: dynamic per-row symmetric activation quantization, int8
-    MXU matmul (2x bf16 peak on v5e), fp32 rescale.  Used for frozen teacher
-    inference (quantize_decoder_int8); training paths keep plain weights.
+    MXU matmul (2x bf16 peak on v5e), fp32 rescale; backward is the
+    straight-through dL/dx (dense_int8) so frozen-quantized bodies still
+    pass gradients to trainable params upstream (e.g. the MoE router).
     """
     if isinstance(w, dict) and "w_int8" in w:
-        s_x = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        s_x = jnp.maximum(s_x / 127.0, 1e-8)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                      -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            xq, w["w_int8"], (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return (y.astype(jnp.float32) * s_x
-                * w["scale"].astype(jnp.float32)).astype(x.dtype)
+        return dense_int8(x, w["w_int8"], w["scale"])
     return x @ w
 
 
@@ -299,7 +352,8 @@ def quantize_decoder_int8(params: Params,
         layer = dict(layer)
         attn = dict(layer["attn"])
         for k in ("wq", "wk", "wv", "wo"):
-            attn[k] = quantize_dense_int8(attn[k])
+            if not isinstance(attn[k], dict):
+                attn[k] = quantize_dense_int8(attn[k])
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
         for k in ("gate", "up", "down"):
@@ -310,7 +364,8 @@ def quantize_decoder_int8(params: Params,
                 mlp["residual_mlp"] = {
                     k: quantize_dense_int8(v) if k in ("gate", "up", "down")
                     else v for k, v in mlp["residual_mlp"].items()}
-            if "experts" in mlp:
+            if "experts" in mlp and not any(
+                    isinstance(v, dict) for v in mlp["experts"].values()):
                 mlp["experts"] = quantize_experts_int8(mlp["experts"])
         layer["mlp"] = mlp
         layers.append(layer)
@@ -340,16 +395,41 @@ def _expert_dense(xe: jnp.ndarray, w) -> jnp.ndarray:
     quantization + batched int8 MXU dot (2x bf16 peak, half the HBM reads
     — the experts are half of a sparse student's weight bytes)."""
     if isinstance(w, dict) and "w_int8" in w:
-        s_x = jnp.max(jnp.abs(xe.astype(jnp.float32)), axis=-1, keepdims=True)
-        s_x = jnp.maximum(s_x / 127.0, 1e-8)
-        xq = jnp.clip(jnp.round(xe.astype(jnp.float32) / s_x),
-                      -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(xq, w["w_int8"],
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.int32)
-        return (y.astype(jnp.float32) * s_x
-                * w["scale"].astype(jnp.float32)[:, None, :]).astype(xe.dtype)
+        return expert_dense_int8(xe, w["w_int8"], w["scale"])
     return jnp.einsum("ecd,edf->ecf", xe, w)
+
+
+def _expert_dense_int8_impl(xe, w_int8, scale):
+    xq, s_x = _act_quant_rows(xe)
+    y = jax.lax.dot_general(xq, w_int8, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * s_x
+            * scale.astype(jnp.float32)[:, None, :]).astype(xe.dtype)
+
+
+@jax.custom_vjp
+def expert_dense_int8(xe: jnp.ndarray, w_int8: jnp.ndarray,
+                      scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 batched per-expert matmul: xe [E, C, D] @ {w_int8 [E, D, F],
+    scale [E, F]} with straight-through dL/dx (see dense_int8)."""
+    return _expert_dense_int8_impl(xe, w_int8, scale)
+
+
+def _expert_dense_int8_fwd(xe, w_int8, scale):
+    return _expert_dense_int8_impl(xe, w_int8, scale), (w_int8, scale)
+
+
+def _expert_dense_int8_bwd(res, g):
+    w_int8, scale = res
+    gs = g.astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :]
+    gq, s_g = _act_quant_rows(gs)
+    dx = jax.lax.dot_general(gq, w_int8, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.int32)
+    dx = (dx.astype(jnp.float32) * s_g).astype(g.dtype)
+    return dx, _float0(w_int8), jnp.zeros_like(scale)
+
+
+expert_dense_int8.defvjp(_expert_dense_int8_fwd, _expert_dense_int8_bwd)
 
 
 def _expert_mlp(cfg: DecoderConfig, experts: Params, xe: jnp.ndarray) -> jnp.ndarray:
@@ -368,25 +448,57 @@ def _ragged_dense(xr: jnp.ndarray, w, group_sizes: jnp.ndarray) -> jnp.ndarray:
     group_sizes [E]) @ w [E, D, F] -> [M, F].  Only the sum(group_sizes)
     kept rows are useful — 1/capacity_factor of the padded [E, C, D] work."""
     if isinstance(w, dict) and "w_int8" in w:
-        # W8A8 on the ragged layout: per-row dynamic activation scales; the
-        # per-expert weight column scales are gathered per row via the
-        # row -> expert map implied by group_sizes.
-        e = w["w_int8"].shape[0]
-        m = xr.shape[0]
-        ends = jnp.cumsum(group_sizes)
-        row_expert = jnp.searchsorted(ends, jnp.arange(m, dtype=jnp.int32),
-                                      side="right")
-        row_expert = jnp.minimum(row_expert, e - 1).astype(jnp.int32)
-        s_x = jnp.max(jnp.abs(xr.astype(jnp.float32)), axis=-1, keepdims=True)
-        s_x = jnp.maximum(s_x / 127.0, 1e-8)
-        xq = jnp.clip(jnp.round(xr.astype(jnp.float32) / s_x),
-                      -127, 127).astype(jnp.int8)
-        y = jax.lax.ragged_dot(xq, w["w_int8"], group_sizes,
-                               preferred_element_type=jnp.int32)
-        s_w = jnp.take(w["scale"].astype(jnp.float32), row_expert, axis=0)
-        return (y.astype(jnp.float32) * s_x * s_w).astype(xr.dtype)
+        return ragged_dense_int8(xr, w["w_int8"], w["scale"], group_sizes)
     return jax.lax.ragged_dot(xr, w, group_sizes,
                               preferred_element_type=xr.dtype)
+
+
+def _row_expert_map(group_sizes: jnp.ndarray, e: int, m: int) -> jnp.ndarray:
+    """row index -> expert id for the expert-major ragged row layout."""
+    ends = jnp.cumsum(group_sizes)
+    row_expert = jnp.searchsorted(ends, jnp.arange(m, dtype=jnp.int32),
+                                  side="right")
+    return jnp.minimum(row_expert, e - 1).astype(jnp.int32)
+
+
+def _ragged_dense_int8_impl(xr, w_int8, scale, group_sizes):
+    # W8A8 on the ragged layout: per-row dynamic activation scales; the
+    # per-expert weight column scales are gathered per row via the
+    # row -> expert map implied by group_sizes.
+    row_expert = _row_expert_map(group_sizes, w_int8.shape[0], xr.shape[0])
+    xq, s_x = _act_quant_rows(xr)
+    y = jax.lax.ragged_dot(xq, w_int8, group_sizes,
+                           preferred_element_type=jnp.int32)
+    s_w = jnp.take(scale.astype(jnp.float32), row_expert, axis=0)
+    return (y.astype(jnp.float32) * s_x * s_w).astype(xr.dtype)
+
+
+@jax.custom_vjp
+def ragged_dense_int8(xr: jnp.ndarray, w_int8: jnp.ndarray,
+                      scale: jnp.ndarray,
+                      group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 ragged per-expert matmul: xr [M, D] @ {w_int8 [E, D, F],
+    scale [E, F]} grouped by group_sizes, straight-through dL/dx."""
+    return _ragged_dense_int8_impl(xr, w_int8, scale, group_sizes)
+
+
+def _ragged_dense_int8_fwd(xr, w_int8, scale, group_sizes):
+    return (_ragged_dense_int8_impl(xr, w_int8, scale, group_sizes),
+            (w_int8, scale, group_sizes))
+
+
+def _ragged_dense_int8_bwd(res, g):
+    w_int8, scale, group_sizes = res
+    row_expert = _row_expert_map(group_sizes, w_int8.shape[0], g.shape[0])
+    s_w = jnp.take(scale.astype(jnp.float32), row_expert, axis=0)
+    gq, s_g = _act_quant_rows(g.astype(jnp.float32) * s_w)
+    dx = jax.lax.ragged_dot(gq, jnp.swapaxes(w_int8, 1, 2), group_sizes,
+                            preferred_element_type=jnp.int32)
+    dx = (dx.astype(jnp.float32) * s_g).astype(g.dtype)
+    return dx, _float0(w_int8), jnp.zeros_like(scale), _float0(group_sizes)
+
+
+ragged_dense_int8.defvjp(_ragged_dense_int8_fwd, _ragged_dense_int8_bwd)
 
 
 def _expert_mlp_ragged(cfg: DecoderConfig, experts: Params, xr: jnp.ndarray,

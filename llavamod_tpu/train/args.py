@@ -143,6 +143,12 @@ class AlignArgs:
     # Requires the head frozen via --train_modules (recipe of record);
     # backward is the standard W8A8 straight-through estimate.
     policy_head_quant: bool = False
+    # int8 STUDENT decoder body (attention + dense MLP + experts; router
+    # stays float).  Requires a --train_modules set that freezes every
+    # quantized weight (e.g. router-only); run.py verifies against the
+    # actual trainable mask.  ~halves the frozen body's weight reads and
+    # runs its matmuls (fwd + straight-through dL/dx) on the int8 MXU.
+    policy_body_quant: bool = False
 
 
 @dataclasses.dataclass
@@ -263,6 +269,14 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
                     "FFN+router list) — quantizing a TRAINED head would "
                     "silently stop its gradients")
             kw["student_head_quant"] = True
+        if align.policy_body_quant:
+            if not (model_args and model_args.train_modules):
+                raise ValueError(
+                    "--policy_body_quant requires explicit --train_modules "
+                    "that freeze every decoder weight except the router "
+                    "(e.g. 'wg') — quantizing TRAINED weights would "
+                    "silently stop their gradients")
+            kw["student_body_quant"] = True
     if dpo is not None:
         kw["dpo_loss_type"] = dpo.loss_type
         kw["dpo_beta"] = dpo.dpo_beta

@@ -63,6 +63,14 @@ class TrainConfig:
     # straight-through estimate.  Quantized on the fly from the live params
     # each step (a [V, D] elementwise pass) so no optimizer/state changes.
     student_head_quant: bool = False
+    # int8 (W8A8) student decoder BODY — attention + dense MLP + experts;
+    # the router stays float.  ONLY valid when every quantized weight is
+    # frozen (router-only train sets): the body never updates, forward
+    # numerics are the W8A8 serving path, and the router gradient flows
+    # through the quantized matmuls via the straight-through custom_vjps
+    # (decoder.dense_int8 & co).  run.py verifies the freeze against the
+    # actual trainable mask and stashes the float body for export.
+    student_body_quant: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

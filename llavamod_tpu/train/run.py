@@ -541,6 +541,37 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         rank0_print("[build] student LM head pre-quantized to int8 "
                     "(frozen-head recipe; float head stashed on host)")
 
+    # Router-only recipes with --policy_body_quant: the whole frozen student
+    # body (attention + dense MLP + experts) runs W8A8 on the int8 MXU —
+    # forward numerics = the int8 serving path, router grads flow through
+    # the straight-through custom_vjps (decoder.dense_int8 & co).  The
+    # freeze is verified against the ACTUAL trainable mask (not just the
+    # flag list); the float body is stashed on host for checkpoint export.
+    float_body_stash = None
+    if tcfg.student_body_quant and lora_cfg is None:
+        import jax
+
+        from llavamod_tpu.models.llm.decoder import quantize_decoder_int8
+        from llavamod_tpu.train.optim import trainable_mask
+
+        mask = trainable_mask(params, tcfg, None)
+        bad = [jax.tree_util.keystr(kp)
+               for kp, v in jax.tree_util.tree_leaves_with_path(
+                   mask.get("llm", {}).get("layers", []))
+               if v and "router" not in jax.tree_util.keystr(kp)]
+        if bad:
+            raise ValueError(
+                "--policy_body_quant needs every decoder weight except the "
+                f"router frozen via --train_modules; trainable: {bad[:4]}")
+        float_body_stash = jax.tree_util.tree_map(
+            np.asarray, params["llm"]["layers"])
+        params = dict(params)
+        params["llm"] = quantize_decoder_int8(params["llm"],
+                                              include_experts=True)
+        rank0_print("[build] student body quantized to int8 W8A8 (frozen "
+                    "attn/MLP/experts; STE backward carries router grads; "
+                    "float body stashed on host)")
+
     # Pre-stack the decoder layer trees (decoder.stack_layers): the layer
     # scan otherwise re-stacks ALL weights into an HLO temp on every step —
     # one full extra weight copy of HBM traffic (measured +5.3% step
@@ -643,6 +674,26 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             p = dict(state.params)
             p["llm"] = dict(p["llm"])
             p["llm"]["lm_head"] = {"weight": float_head_stash}
+            state = state._replace(params=p)
+        if float_body_stash is not None:
+            # same for the int8 body — restore the float layers, but graft
+            # the TRAINED routers back in from the live (possibly stacked)
+            # tree, since the routers kept updating during training
+            import jax
+            import jax.numpy as jnp
+
+            from llavamod_tpu.models.llm.decoder import unstack_layers
+
+            p = dict(state.params)
+            p["llm"] = dict(p["llm"])
+            live = unstack_layers(cfg.llm, p["llm"])["layers"]
+            layers = []
+            for stash_l, live_l in zip(float_body_stash, live):
+                out_l = jax.tree_util.tree_map(jnp.asarray, stash_l)
+                if "router" in live_l.get("mlp", {}):
+                    out_l["mlp"]["router"] = live_l["mlp"]["router"]
+                layers.append(out_l)
+            p["llm"]["layers"] = layers
             state = state._replace(params=p)
         final_save(targs.output_dir, cfg, state, lora_cfg, margs, tcfg)
     return last_metrics

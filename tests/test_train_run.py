@@ -317,3 +317,55 @@ def test_align_with_policy_head_quant_prequantizes_and_exports_float(stage_dirs)
         w = head["weight"]
         assert not isinstance(w, dict), "int8 stand-in leaked into export"
         assert np.asarray(w).dtype != np.int8
+
+def test_align_with_policy_body_quant(stage_dirs):
+    """End-to-end align with --policy_body_quant (router-only train set):
+    the frozen body trains as int8 W8A8, the loss is finite, and the
+    exported checkpoint carries the float body with the TRAINED router
+    grafted back (not the int8 stand-in)."""
+    tmp_path, model_dir, data, imgs = stage_dirs
+    stage1 = str(tmp_path / "out1")
+    out = str(tmp_path / "out_bq")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=stage1, version="qwen", moe_enable=True,
+                  moe_mode="sparse", num_experts=4, top_k_experts=2,
+                  train_modules=["wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, model_max_length=256),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir,
+                         policy_body_quant=True),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    cfg2, params2 = load_model(out)
+    for layer in params2["llm"]["layers"]:
+        for k in ("wq", "wk", "wv", "wo"):
+            w = layer["attn"][k]
+            assert not isinstance(w, dict), "int8 stand-in leaked into export"
+        mlp = layer["mlp"]
+        if "experts" in mlp:
+            assert not any(isinstance(v, dict) for v in mlp["experts"].values())
+            assert "router" in mlp and not isinstance(mlp["router"], dict)
+
+
+def test_policy_body_quant_requires_frozen_body(stage_dirs):
+    """--policy_body_quant with a train set that trains FFN weights must be
+    refused (verified against the actual trainable mask, not the flag list)."""
+    tmp_path, model_dir, data, imgs = stage_dirs
+    stage1 = str(tmp_path / "out1")
+    out = str(tmp_path / "out_bq_bad")
+    with pytest.raises(ValueError, match="policy_body_quant"):
+        run_stage(
+            "align",
+            ModelArgs(model_name_or_path=stage1, version="qwen",
+                      moe_enable=True, moe_mode="sparse", num_experts=4,
+                      top_k_experts=2,
+                      train_modules=["mlp.gate_proj", "mlp.up_proj",
+                                     "mlp.down_proj", "wg"]),
+            DataArgs(data_path=[data], image_folder=imgs),
+            _targs(out, model_max_length=256),
+            salign=AlignArgs(policy_model_type="sparse",
+                             ref_model_name_or_path=model_dir,
+                             policy_body_quant=True),
+            tokenizer=StubTok())
