@@ -104,10 +104,17 @@ def bench_distill(cfg_name: str = "default"):
         # (kd_lm, dense2sparse_distillation.sh).  Swept at these shapes:
         # B=1+full-remat > B=2 (0.653) > remat_policy=moe (0.617); chunk
         # flat 2048-8192; gating group 1024 > 512 ~ 2048 (BENCH_NOTES).
+        # remat: with the int8 student body (round-6), FULL remat stopped
+        # paying — MoE-block-only remat (remat_policy=moe, remat off) fits
+        # the freed HBM and wins 6 375 -> 6 442; flash blocks 1024x1024 at
+        # the T=2048 shapes add the rest -> 6 603 tok/s (MFU 0.830).
         defaults = dict(BENCH_BATCH="1", BENCH_SEQ="2048", BENCH_STEPS="20",
                         BENCH_STUDENT="1.8b", BENCH_TEACHER="7b",
-                        BENCH_REMAT="1", BENCH_EMBED_QUANT="1",
+                        BENCH_REMAT="0", BENCH_EMBED_QUANT="1",
+                        BENCH_REMAT_POLICY="moe",
                         BENCH_MOE_GROUP="1024", BENCH_LOSS="kd_lm")
+        os.environ.setdefault("LLAVAMOD_FLASH_BLOCK_Q", "1024")
+        os.environ.setdefault("LLAVAMOD_FLASH_BLOCK_K", "1024")
         if cfg_name == "flagship_fit":
             # record train set (all FFN + router) needs ~8.1 GB adam state
             # + 4.1 GB grads on top of 14.5 GB params — router-only is the
@@ -147,7 +154,7 @@ def bench_distill(cfg_name: str = "default"):
     # and DeepSpeed per-rank-batch parity (the reference gates per GPU with
     # per-GPU batch 1, dense2sparse_distillation.sh)
     moe_group = int(env("BENCH_MOE_GROUP", str(t)))
-    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
+    remat_policy = env("BENCH_REMAT_POLICY", "none")
     loss_type = env("BENCH_LOSS", "only_kd")  # only_kd|kd_lm
     # W8A8 teacher by default, INCLUDING its LM head: attention/MLP and the
     # [151936, 2048] head matmuls (streamed twice per step by the chunked KD
