@@ -518,7 +518,10 @@ def bench_eval():
     from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
     from llavamod_tpu.train.steps import batch_from_arrays
 
-    b = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch sweep (BENCH_NOTES round-6): bf16 3.06 (B=8) -> 5.33 (B=24) ->
+    # 4.74 (B=32); int8 peaks at B=24 too (6.14), B>=28 OOM.  B=16 with
+    # int8 weights hits an isolated XLA emitter cliff (1.82) — avoid.
+    b = int(os.environ.get("BENCH_BATCH", "24"))
     prompt_t = int(os.environ.get("BENCH_SEQ", "640"))  # 576 image + text
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
     runs = int(os.environ.get("BENCH_RUNS", "4"))
