@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _summarize_profile(profile_dir: str, top: int = 40):
+def _summarize_profile(profile_dir: str, top: int = 40, steps: int = 3):
     """Aggregate device-plane op durations from the newest trace dump."""
     import collections
     import glob
@@ -44,16 +44,24 @@ def _summarize_profile(profile_dir: str, top: int = 40):
         return
     data = jax.profiler.ProfileData.from_file(files[-1])
     totals = collections.Counter()
+    line_totals = collections.Counter()
     for plane in data.planes:
         if "TPU" not in plane.name and "/device" not in plane.name:
             continue
         for line in plane.lines:
             for ev in line.events:
                 ns = ev.duration_ns
-                totals[ev.name] += ns
-    log(f"== device op totals over 3 steps ({files[-1]})")
+                line_totals[line.name] += ns
+                # async '-start' spans measure DMA *pending* time (they
+                # overlap compute); keep occupancy lines separate
+                if "XLA Ops" in line.name:
+                    totals[ev.name] += ns
+    log(f"== device line totals over {steps} step(s) ({files[-1]})")
+    for name, ns in line_totals.most_common(10):
+        log(f"{ns / 1e6 / steps:9.3f} ms/step  line: {name[:90]}")
+    log("== XLA Ops occupancy totals")
     for name, ns in totals.most_common(top):
-        log(f"{ns / 1e6 / 3.0:9.3f} ms/step  {name[:110]}")
+        log(f"{ns / 1e6 / steps:9.3f} ms/step  {name[:110]}")
 
 
 def main():
@@ -564,6 +572,13 @@ def bench_eval():
     out = generate(params, cfg, batch, gcfg)  # np conversion forces execution
     log(f"compile+first generation: {time.time() - t0:.1f}s "
         f"(shape {out.shape})")
+
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        generate(params, cfg, batch, gcfg)
+        jax.profiler.stop_trace()
+        _summarize_profile(profile_dir, steps=1)
 
     t0 = time.time()
     for _ in range(runs):
