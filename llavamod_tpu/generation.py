@@ -106,8 +106,10 @@ def _prefill_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
     prompt_len = jnp.sum(seg, axis=1)  # [B] real lengths
 
     cache = decoder.init_cache(cfg.llm, b, total, dtype=cache_dtype)
+    # attn_impl="fresh": the cache is empty, so prefill attention runs on the
+    # chunk's own K/V through the flash kernel (decoder.attention_forward)
     out = llava.forward(params, cfg, batch._replace(positions=positions),
-                        cache=cache, train=False)
+                        cache=cache, train=False, attn_impl="fresh")
     last_logits = llava.logits(params, cfg, out.hidden[:, -1:])[:, 0]
 
     is_eos, push_window, window_stopped, win = _stop_machinery(gcfg, b)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 
 from llavamod_tpu.models.llm.config import DecoderConfig
 from llavamod_tpu.ops.attention import dot_product_attention
+from llavamod_tpu.ops.decode_attention import flash_decode
 from llavamod_tpu.ops.moe import (
     GatingConfig,
     moe_ffn,
@@ -140,12 +142,15 @@ def init(cfg: DecoderConfig, key, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray        # [L, B, S_max, KH, Dh] (bf16/fp32 or int8)
-    v: jnp.ndarray        # [L, B, S_max, KH, Dh]
+    # [B, KH, S, D] row-major puts each (batch, kv-head) history in one
+    # contiguous HBM run — the flash-decode kernel (ops/decode_attention.py)
+    # then streams it with full-bandwidth DMAs instead of KH-strided reads.
+    k: jnp.ndarray        # [L, B, KH, S_max, Dh] (bf16/fp32 or int8)
+    v: jnp.ndarray        # [L, B, KH, S_max, Dh]
     segment: jnp.ndarray  # [B, S_max] int32 (0 = empty/pad)
     length: jnp.ndarray   # scalar int32: filled prefix length
     # int8 mode only: per-(position, head) dequantization scales
-    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, KH]
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, KH, S_max]
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -159,7 +164,7 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
     (per-position/head symmetric scales — the TPU answer to the reference's
     optional quantized-KV CUDA kernel, qwen/cpp_kernels.py:39-55 /
     modeling_qwen.py:308: halves KV HBM footprint and read bandwidth)."""
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if dtype == "int8" or dtype == jnp.int8:
         return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
                        jnp.zeros((batch, max_len), jnp.int32),
@@ -172,7 +177,7 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
 
 
 def _quantize_kv(x: jnp.ndarray):
-    """[B, T, KH, Dh] -> (int8 values, [B, T, KH] scales)."""
+    """[..., Dh] -> (int8 values, [...] per-row scales)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
@@ -715,11 +720,20 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         cfg.sliding_window and (pat == 1 or layer_idx % pat != pat - 1)
     ) else None
 
+    # attn_impl == "fresh" asserts the cache was EMPTY before this call (a
+    # full prefill): attention then runs on the chunk's own K/V through the
+    # flash kernel (no [T, S_max] cache-wide mask materializes), while the
+    # cache is still written for the decode steps that follow.
+    fresh = attn_impl == "fresh"
+    chunk_attn = cache is None or (fresh and t > 1)
     new_kv = None
     if cache is not None:
         # Decode / incremental prefill: write k,v into the cache at `length`.
+        # Cache layout is [B, KH, S, D] (head-major) — see KVCache.
         start = cache.length
         scales = None
+        k_bh = jnp.swapaxes(k, 1, 2)  # [B, KH, t, D]
+        v_bh = jnp.swapaxes(v, 1, 2)
         if cache_rows is not None:
             base_k, base_v, base_ks, base_vs = cache_rows
         else:
@@ -727,23 +741,19 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
             base_ks = cache.k_scale[layer_idx] if cache.quantized else None
             base_vs = cache.v_scale[layer_idx] if cache.quantized else None
         if cache.quantized:
-            kq, ks = _quantize_kv(k)
-            vq, vs = _quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(base_k, kq, (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(base_v, vq, (0, start, 0, 0))
-            cks = jax.lax.dynamic_update_slice(base_ks, ks, (0, start, 0))
-            cvs = jax.lax.dynamic_update_slice(base_vs, vs, (0, start, 0))
-            k_full = _dequantize_kv(ck, cks, q.dtype)
-            v_full = _dequantize_kv(cv, cvs, q.dtype)
+            kq, ks = _quantize_kv(k_bh)
+            vq, vs = _quantize_kv(v_bh)
+            ck = jax.lax.dynamic_update_slice(base_k, kq, (0, 0, start, 0))
+            cv = jax.lax.dynamic_update_slice(base_v, vq, (0, 0, start, 0))
+            cks = jax.lax.dynamic_update_slice(base_ks, ks, (0, 0, start))
+            cvs = jax.lax.dynamic_update_slice(base_vs, vs, (0, 0, start))
             scales = (cks, cvs)
         else:
             ck = jax.lax.dynamic_update_slice(
-                base_k, k.astype(cache.k.dtype), (0, start, 0, 0))
+                base_k, k_bh.astype(cache.k.dtype), (0, 0, start, 0))
             cv = jax.lax.dynamic_update_slice(
-                base_v, v.astype(cache.v.dtype), (0, start, 0, 0))
-            k_full = ck.astype(q.dtype)
-            v_full = cv.astype(q.dtype)
-        s_max = ck.shape[1]
+                base_v, v_bh.astype(cache.v.dtype), (0, 0, start, 0))
+        s_max = ck.shape[2]
         if segment_ids is not None:
             cseg = jax.lax.dynamic_update_slice(cache.segment,
                                                 segment_ids.astype(jnp.int32),
@@ -751,23 +761,46 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         else:
             cseg = jax.lax.dynamic_update_slice(
                 cache.segment, jnp.ones((b, t), jnp.int32), (0, start))
-        # Mask: causal against absolute positions + segment match.
-        kv_pos = jnp.arange(s_max)[None, None, None, :]
-        q_pos = (start + jnp.arange(t))[None, None, :, None]
-        mask = kv_pos <= q_pos
-        mask = mask & (cseg[:, None, None, :] != 0)
-        if sliding is not None:
-            mask = mask & (kv_pos > q_pos - sliding)
-        bias = None
-        if cfg.alibi:
-            bias = _alibi_bias(cfg, jnp.broadcast_to(
-                start + jnp.arange(t)[None, :], (b, t)),
-                jnp.broadcast_to(jnp.arange(s_max)[None, :], (b, s_max)))
-        out = dot_product_attention(
-            q, k_full, v_full, mask=mask, bias=bias,
-            causal=False, scale=scale, softcap=softcap, impl="xla")
         new_kv = (ck, cv, cseg, scales)
-    else:
+
+        use_kernel = (t == 1 and sliding is None and not cfg.alibi
+                      and os.environ.get("LLAVAMOD_DECODE_ATTN", "") != "xla")
+        if chunk_attn:
+            pass  # attention computed below on the fresh chunk K/V
+        elif use_kernel:
+            # Single-token decode: Pallas flash-decode streams the cache in
+            # its stored dtype (int8 stays int8 until the VMEM registers).
+            # Causality needs no position mask — slots past `start` are
+            # still segment-0 (init_cache zero-fills).
+            out = flash_decode(
+                q[:, 0], ck, cv, kv_seg=cseg,
+                k_scale=scales[0] if scales else None,
+                v_scale=scales[1] if scales else None,
+                scale=scale, softcap=softcap)[:, None]
+        else:
+            if cache.quantized:
+                k_full = _dequantize_kv(ck, cks, q.dtype)
+                v_full = _dequantize_kv(cv, cvs, q.dtype)
+            else:
+                k_full = ck.astype(q.dtype)
+                v_full = cv.astype(q.dtype)
+            # Mask: causal against absolute positions + valid segment.
+            kv_pos = jnp.arange(s_max)[None, None, None, :]
+            q_pos = (start + jnp.arange(t))[None, None, :, None]
+            mask = kv_pos <= q_pos
+            mask = mask & (cseg[:, None, None, :] != 0)
+            if sliding is not None:
+                mask = mask & (kv_pos > q_pos - sliding)
+            bias = None
+            if cfg.alibi:
+                bias = _alibi_bias(cfg, jnp.broadcast_to(
+                    start + jnp.arange(t)[None, :], (b, t)),
+                    jnp.broadcast_to(jnp.arange(s_max)[None, :], (b, s_max)))
+            out = dot_product_attention(
+                q, k_full, v_full, mask=mask, bias=bias,
+                causal=False, scale=scale, softcap=softcap, impl="xla",
+                kv_layout="bksd")
+    if chunk_attn:
         mask = None
         segs = None
         if segment_ids is not None:
@@ -785,11 +818,12 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                                         segment_ids=segs, impl="xla")
         else:
             # ALiBi carries a dense bias -> XLA path (flash takes no bias)
+            impl = "auto" if attn_impl == "fresh" else attn_impl
             out = dot_product_attention(q, k, v, bias=bias, causal=True,
                                         scale=scale, softcap=softcap,
                                         segment_ids=segs,
                                         impl="xla" if bias is not None
-                                        else attn_impl)
+                                        else impl)
 
     out = dense(out.reshape(b, t, h * dh), p["wo"])
     if cfg.o_bias:

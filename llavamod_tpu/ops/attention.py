@@ -46,18 +46,24 @@ def xla_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     softcap: Optional[float] = None,
+    kv_layout: str = "bskd",
 ) -> jnp.ndarray:
     """Reference attention.  q:[B,T,H,D] k,v:[B,S,KH,D] -> [B,T,H,D].
 
     mask: broadcastable to [B, 1|H, T, S], True = attend.
     bias: broadcastable additive bias (same shape rules).
+    kv_layout: 'bskd' (default) or 'bksd' (the head-major KV-cache layout —
+    the einsums contract it directly, no transpose materializes).
     """
     b, t, h, d = q.shape
-    s, kh = k.shape[1], k.shape[2]
+    if kv_layout == "bskd":
+        s, kh = k.shape[1], k.shape[2]
+    else:
+        kh, s = k.shape[1], k.shape[2]
     scale = d ** -0.5 if scale is None else scale
 
     qg = _gqa_group(q, kh)  # [B,T,KH,G,D]
-    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+    logits = jnp.einsum(f"btkgd,{kv_layout}->bkgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if softcap is not None:
         logits = jnp.tanh(logits / softcap) * softcap
@@ -73,7 +79,7 @@ def xla_attention(
 
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     pg = probs.reshape(b, kh, h // kh, t, s)
-    out = jnp.einsum("bkgts,bskd->btkgd", pg, v)
+    out = jnp.einsum(f"bkgts,{kv_layout}->btkgd", pg, v)
     return out.reshape(b, t, h, d)
 
 
@@ -89,11 +95,13 @@ def dot_product_attention(
     softcap: Optional[float] = None,
     segment_ids: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     impl: str = "auto",
+    kv_layout: str = "bskd",
 ) -> jnp.ndarray:
     """Dispatching attention entry point.
 
     segment_ids: (q_seg [B,T], kv_seg [B,S]) — tokens attend only within equal
     nonzero segment ids (0 = padding).  Composes with `causal`.
+    kv_layout: 'bskd' | 'bksd' (xla impl only; flash requires 'bskd').
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -104,6 +112,7 @@ def dot_product_attention(
         impl = "flash" if use_flash else "xla"
 
     if impl == "flash":
+        assert kv_layout == "bskd", "flash kernel takes [B,S,KH,D] K/V"
         import os
 
         from llavamod_tpu.ops.flash_attention import (
@@ -126,4 +135,4 @@ def dot_product_attention(
         )
         mask = seg_mask if mask is None else (mask & seg_mask)
     return xla_attention(q, k, v, bias=bias, mask=mask, causal=causal,
-                         scale=scale, softcap=softcap)
+                         scale=scale, softcap=softcap, kv_layout=kv_layout)
