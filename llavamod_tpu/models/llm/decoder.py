@@ -328,7 +328,8 @@ def quantize_experts_int8(experts: Params) -> Params:
 def quantize_decoder_int8(params: Params,
                           include_lm_head: bool = False,
                           include_experts: bool = False,
-                          include_embed: bool = False) -> Params:
+                          include_embed: bool = False,
+                          include_mlp: bool = True) -> Params:
     """Quantize every layer's attention/MLP weights to int8 (embed and norms
     stay float).  include_lm_head additionally quantizes the output head —
     per-vocab-row scales, consumed on the int8 MXU by the chunked KD losses
@@ -336,7 +337,12 @@ def quantize_decoder_int8(params: Params,
     under 'lm_head' (the float embedding stays for input lookup) which
     lm_head_weight then prefers.  include_experts quantizes the stacked MoE
     expert FFNs too (W8A8 serving of the sparse student — experts are half
-    the student's weight bytes; the dense-teacher use leaves them off)."""
+    the student's weight bytes; the dense-teacher use leaves them off).
+    include_mlp=False quantizes ONLY the attention projections — the
+    selective mode for the record train set (dense2sparse_distillation.sh
+    trains every FFN + router while attention/embeddings/head stay frozen:
+    the frozen attention joins the int8 MXU, the trainable FFNs stay
+    float)."""
     out = dict(params)
     if include_lm_head:
         w = lm_head_weight(params, None)
@@ -361,9 +367,10 @@ def quantize_decoder_int8(params: Params,
                 attn[k] = quantize_dense_int8(attn[k])
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
-        for k in ("gate", "up", "down"):
-            if k in mlp and not isinstance(mlp[k], dict):
-                mlp[k] = quantize_dense_int8(mlp[k])
+        if include_mlp:
+            for k in ("gate", "up", "down"):
+                if k in mlp and not isinstance(mlp[k], dict):
+                    mlp[k] = quantize_dense_int8(mlp[k])
         if include_experts:
             if "residual_mlp" in mlp:
                 mlp["residual_mlp"] = {

@@ -15,6 +15,10 @@ from typing import Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     # --- optimization ---
+    # adamw = the reference recipe (AdamW via DeepSpeed, dpo_zero2.json);
+    # adafactor = factored-second-moment state (~0 bytes/param) for
+    # full-FFN train sets that cannot carry Adam m+v on one chip's HBM
+    optimizer: str = "adamw"                  # adamw | adafactor
     learning_rate: float = 2e-5
     mm_projector_lr: Optional[float] = None   # separate LR for the projector
     weight_decay: float = 0.0

@@ -111,17 +111,45 @@ def _adamw(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
         weight_decay=cfg.weight_decay, mask=decay_mask)
 
 
+def _adafactor(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
+    """Memory-feasible optimizer for full-FFN train sets on one chip.
+
+    Factored second moment (rows+cols instead of a full m+v copy per
+    param — Shazeer & Stern 2018) cuts optimizer state from 2x trainable
+    bytes to ~(rows+cols) per matrix: the record train set's 2.03B
+    trainable params go from 8.1 GB bf16 Adam state to ~2 MB.  Momentum
+    stays off (classic Adafactor); update clipping (d=1.0) replaces
+    global grad-norm clipping, per the paper.
+    """
+    return optax.adafactor(
+        learning_rate=make_lr_schedule(cfg, lr),
+        decay_rate=0.8,
+        multiply_by_parameter_scale=True,
+        clipping_threshold=1.0,
+        momentum=None,
+        weight_decay_rate=cfg.weight_decay or None)
+
+
+def _base_tx(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
+    if cfg.optimizer == "adafactor":
+        return _adafactor(cfg, lr)
+    assert cfg.optimizer == "adamw", cfg.optimizer
+    return _adamw(cfg, lr)
+
+
 def build_optimizer(params, cfg: TrainConfig,
                     lora_cfg=None) -> optax.GradientTransformation:
     labels = _label_tree(params, cfg, lora_cfg)
     transforms = {
-        "default": _adamw(cfg, cfg.learning_rate),
-        "projector": _adamw(cfg, cfg.mm_projector_lr or cfg.learning_rate),
+        "default": _base_tx(cfg, cfg.learning_rate),
+        "projector": _base_tx(cfg, cfg.mm_projector_lr or cfg.learning_rate),
         "frozen": optax.set_to_zero(),
     }
     tx = optax.multi_transform(transforms, labels)
     chain = []
-    if cfg.max_grad_norm:
+    if cfg.max_grad_norm and cfg.optimizer != "adafactor":
+        # Adafactor replaces global grad-norm clipping with per-param
+        # update clipping (clipping_threshold=1.0, the paper's scheme)
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
     chain.append(tx)
     opt = optax.chain(*chain)
