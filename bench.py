@@ -161,10 +161,14 @@ def bench_distill(cfg_name: str = "default"):
             # every FROZEN student tensor (attention projections, embed,
             # head) while the trainable FFNs stay bf16; (c) full remat +
             # B=1 to keep activations out of the grad buffer's way.
+            # (d) the fused backward+update step: Adafactor applied
+            # per-repeat INSIDE the backward scan, so the 4.06 GB full
+            # gradient tree never materializes (train/fused_steps.py)
             defaults["BENCH_TRAIN_MODULES"] = "record"
             defaults["BENCH_OPT"] = "adafactor"
             defaults["BENCH_STUDENT_ATTN_QUANT"] = "1"
-            defaults["BENCH_REMAT"] = "1"
+            defaults["BENCH_FUSED"] = "1"
+            defaults["BENCH_REMAT"] = "0"
             defaults["BENCH_REMAT_POLICY"] = "none"
     else:
         defaults = {}
@@ -439,8 +443,19 @@ def bench_distill(cfg_name: str = "default"):
     log(f"knobs: attn={attn} remat={remat} moe={use_moe} "
         f"teacher={teacher_size} scan={scan} chunk={chunk}")
 
-    state = TrainState.create(student_params, tcfg)
-    step = make_align_step(student_llava, teacher_llava, tcfg)
+    fused = env("BENCH_FUSED", "0") == "1"
+    if fused:
+        from llavamod_tpu.train.fused_steps import (init_fused_state,
+                                                    make_fused_align_step)
+
+        assert prestack, "the fused backward needs pre-stacked layers"
+        state = init_fused_state(student_params, student_llava, tcfg)
+        step = make_fused_align_step(student_llava, teacher_llava, tcfg)
+        log("fused backward+update step (per-repeat adafactor in the "
+            "backward scan; no full-gradient-tree buffer)")
+    else:
+        state = TrainState.create(student_params, tcfg)
+        step = make_align_step(student_llava, teacher_llava, tcfg)
 
     # synthetic batch: 1 image (576 slots) + text, full 1024-token sequences
     n_img = student_llava.num_image_tokens

@@ -1,0 +1,300 @@
+"""Fused backward+update align step: the record train set on one chip.
+
+The standard align step (train/steps.py::make_align_step) materializes the
+FULL trainable-gradient tree before the optimizer update — 4.06 GB of bf16
+for the record FFN+router train set (dense2sparse_distillation.sh:56,
+2.03B trainable params), which is exactly the remaining OOM gap on a
+16 GB v5e after Adafactor removes the Adam state.
+
+This step never builds that buffer.  The backward pass is written as an
+explicit `lax.scan` over the stacked layer repeats in reverse:
+
+  forward:  scan over repeats, saving each repeat's INPUT activation
+            ([reps, B, T, D] bf16 — ~100 MB at the flagship shapes);
+  tail:     final-norm + vocab-chunked KD(+CE) loss, vjp'd to d loss/d x_L;
+  backward: for each repeat (last to first) re-run its forward under
+            jax.vjp from the saved input (per-repeat rematerialization),
+            get (d params_rep, d x), apply the Adafactor update to that
+            repeat IN PLACE in the scan carry, and pass d x down.
+
+Peak gradient memory is ONE repeat's trainable slice (~0.34 GB) instead of
+the whole tree; the params stack rides the scan carry, so with donation
+the update is in-place.  Semantics are IDENTICAL to grad-then-update:
+every vjp recomputes its forward from the pre-update params (updates only
+become visible to the next step), and the update rule is per-block
+Adafactor (train/adafactor.py) — pinned against the unfused reference
+path in tests/test_fused_align.py.
+
+Restrictions (asserted): align stage, scan_layers with a pre-stacked
+param tree, optimizer='adafactor', no LoRA, compute dtype == param
+storage dtype, and every trainable param inside the layer stack or the
+projector (embed / lm_head / final_norm / vision frozen — true for the
+record train set and every align recipe shipped).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llavamod_tpu.models import llava
+from llavamod_tpu.models.llava import LlavaConfig, MultimodalBatch
+from llavamod_tpu.models.llm import decoder
+from llavamod_tpu.ops.losses import kd_align_loss, kd_ce_align_loss
+from llavamod_tpu.train import adafactor
+from llavamod_tpu.train.config import TrainConfig
+from llavamod_tpu.train.optim import (
+    TrainState,
+    make_lr_schedule,
+    trainable_mask,
+)
+from llavamod_tpu.train.steps import (
+    _DTYPES,
+    _can_share_tower,
+    _cast_tree,
+    _shared_tower_feats,
+)
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def _stacked_trees(params):
+    layers = params["llm"]["layers"]
+    assert isinstance(layers, dict) and "stacked" in layers, (
+        "fused step needs a pre-stacked layer tree (decoder.stack_layers)")
+    return layers["stacked"]
+
+
+def _check_supported(student_cfg: LlavaConfig, tcfg: TrainConfig, mask):
+    assert tcfg.optimizer == "adafactor", (
+        "the fused backward applies per-repeat Adafactor updates; "
+        "set optimizer='adafactor'")
+    assert student_cfg.llm.scan_layers, "fused step requires scan_layers"
+    assert _DTYPES[tcfg.compute_dtype] is not None
+    # every trainable leaf must live in the layer stack or the projector:
+    # embed/head/final_norm/vision updates would need their own fused
+    # sections (none of the align recipes train them)
+    def _flag(path, m):
+        p = "/".join(str(getattr(q, "key", q)) for q in path)
+        if m and not (p.startswith("projector")
+                      or p.startswith("llm/layers")):
+            raise AssertionError(
+                f"fused align step cannot update '{p}' — only layer-stack "
+                f"and projector params are supported")
+    jax.tree_util.tree_map_with_path(_flag, mask)
+
+
+def init_fused_state(params, student_cfg: LlavaConfig,
+                     tcfg: TrainConfig) -> TrainState:
+    """TrainState whose opt_state is the fused layout: per-repeat-sliced
+    Adafactor statistics for the stacked layer trees + the projector."""
+    mask = trainable_mask(params, tcfg)
+    _check_supported(student_cfg, tcfg, mask)
+    stacked = _stacked_trees(params)
+    mask_stacked = _stacked_trees({"llm": mask["llm"]})
+
+    compute_dtype = _DTYPES[tcfg.compute_dtype]
+
+    def init_stacked_leaf(p, m):
+        if not m:
+            return {}
+        assert p.dtype == compute_dtype, (
+            f"fused updates are in-place: params must be stored in the "
+            f"compute dtype ({tcfg.compute_dtype}), got {p.dtype}")
+        # state for ONE repeat's slice, then stacked on the reps axis —
+        # per-weight-matrix Adafactor blocks, not whole-stack blocks
+        reps = p.shape[0]
+        one = adafactor.init_leaf(p[0])
+        return {k: jnp.zeros((reps,) + v.shape, v.dtype)
+                for k, v in one.items()}
+
+    opt_layers = [jax.tree_util.tree_map(init_stacked_leaf, s, ms)
+                  for s, ms in zip(stacked, mask_stacked)]
+    opt_proj = adafactor.init_tree(params["projector"], mask["projector"])
+    opt_state = {"layers": opt_layers, "projector": opt_proj}
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+
+
+def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
+                          tcfg: TrainConfig) -> Callable:
+    """step(state, teacher_params, batch) -> (state, metrics).
+
+    Same contract as make_align_step; state must come from
+    init_fused_state."""
+    cfg = student_cfg
+    vocab_limit = tcfg.kd_vocab_limit or min(student_cfg.llm.vocab_size,
+                                             teacher_cfg.llm.vocab_size)
+    share_tower = _can_share_tower(tcfg, student_cfg, teacher_cfg)
+    dtype = _DTYPES[tcfg.compute_dtype]
+    lr_sched = make_lr_schedule(tcfg, tcfg.learning_rate)
+    proj_lr_sched = make_lr_schedule(
+        tcfg, tcfg.mm_projector_lr or tcfg.learning_rate)
+    coef = (cfg.llm.router_aux_loss_coef
+            if (cfg.llm.is_moe and tcfg.moe_loss_enable) else 0.0)
+    af_kw = dict(weight_decay_rate=tcfg.weight_decay or None)
+
+    def teacher_forward(teacher_params, batch, tower_feats):
+        tp = _cast_tree(teacher_params, dtype)
+        tb = batch._replace(pixels=batch.pixels.astype(dtype))
+        out = llava.forward(tp, teacher_cfg, tb, train=False,
+                            attn_impl=tcfg.attn_impl, tower_feats=tower_feats)
+        w = llava.lm_head_weight(tp, teacher_cfg)
+        return jax.lax.stop_gradient(out.hidden), jax.lax.stop_gradient(w)
+
+    def rep_forward(rep_params, x, positions, segment_ids):
+        """One structural period of layers; returns (x_out, aux_sum)."""
+        aux_sum = jnp.zeros((), jnp.float32)
+        for j in range(len(rep_params)):
+            x, _, aux, _probs = decoder.layer_forward(
+                cfg.llm, rep_params[j], x, positions, segment_ids, j, None,
+                True, tcfg.attn_impl)
+            x = decoder._seq_constraint(cfg.llm, x)
+            aux_sum = aux_sum + aux
+        return x, aux_sum
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, teacher_params,
+             batch: MultimodalBatch) -> Tuple[TrainState, Metrics]:
+        params = state.params
+        mask = trainable_mask(params, tcfg)
+        mask_stacked = _stacked_trees({"llm": mask["llm"]})
+        pstack = _stacked_trees(params)
+        ostack = state.opt_state["layers"]
+        reps = jax.tree_util.tree_leaves(pstack[0])[0].shape[0]
+        count = state.step
+        lr = lr_sched(count).astype(jnp.float32)
+        proj_lr = proj_lr_sched(count).astype(jnp.float32)
+
+        b, t = batch.input_ids.shape
+        positions = (batch.positions if batch.positions is not None
+                     else jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)))
+        cbatch = batch._replace(pixels=batch.pixels.astype(dtype))
+
+        # --- frozen tower once; teacher forward (stop-grad) ---
+        tower = (_shared_tower_feats(params, cfg, cbatch, tcfg)
+                 if share_tower else None)
+        h_t, w_t = teacher_forward(teacher_params, cbatch, tower)
+
+        # --- head section: embeddings + projector + splice, vjp'd wrt the
+        # projector (the only trainable params outside the layer stack) ---
+        llm_p = params["llm"]
+
+        def head_fn(proj_p):
+            tree = {"llm": llm_p, "projector": proj_p}
+            if tower is None:
+                tree["vision"] = params["vision"]  # frozen (stop-grad inside)
+            x0 = llava.multimodal_embed(tree, cfg, cbatch, tower)
+            return decoder._seq_constraint(cfg.llm, x0)
+
+        x0, head_vjp = jax.vjp(head_fn, params["projector"])
+
+        # --- forward scan over repeats, saving each repeat's input ---
+        def fwd_body(x, rep_params):
+            x_out, aux = rep_forward(rep_params, x, positions,
+                                     batch.segment_ids)
+            return x_out, (x, aux)
+
+        x_last, (x_ins, aux_per_rep) = jax.lax.scan(
+            fwd_body, x0, tuple(pstack))
+        aux_total = jnp.sum(aux_per_rep)
+
+        # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last ---
+        w_s = llava.lm_head_weight(params, cfg)
+        if tcfg.student_head_quant and not isinstance(w_s, dict):
+            w_s = jax.lax.stop_gradient(decoder.quantize_head_int8(w_s))
+
+        def tail_fn(xh):
+            hidden = decoder._norm(cfg.llm, llm_p["final_norm"], xh)
+            if tcfg.align_loss_type == "kd_lm":
+                fused = kd_ce_align_loss(
+                    hidden, w_s, h_t, w_t, batch.labels,
+                    vocab_limit=vocab_limit,
+                    distill_all_tokens=tcfg.distill_all_tokens,
+                    chunk=tcfg.vocab_chunk)
+                return fused.kd_loss + fused.ce_loss, (
+                    fused.kd_loss, fused.ce_loss, fused.kd_tokens)
+            kd = kd_align_loss(hidden, w_s, h_t, w_t, batch.labels,
+                               vocab_limit=vocab_limit,
+                               distill_all_tokens=tcfg.distill_all_tokens,
+                               chunk=tcfg.vocab_chunk)
+            return kd.loss, (kd.loss, jnp.zeros(()), kd.num_tokens)
+
+        loss_main, tail_vjp, aux_metrics = jax.vjp(tail_fn, x_last,
+                                                   has_aux=True)
+        kd_loss, ce_loss, num_tokens = aux_metrics
+        (g_last,) = tail_vjp(jnp.ones((), loss_main.dtype))
+
+        # --- backward scan (reverse): per-repeat vjp + in-place update ---
+        aux_cot = jnp.asarray(coef, jnp.float32)
+        _is_empty = lambda x: isinstance(x, dict) and not x  # noqa: E731
+
+        def _masked_sq_norm(grads, m):
+            tot = jnp.zeros((), jnp.float32)
+            for g_, m_ in zip(jax.tree_util.tree_leaves(grads),
+                              jax.tree_util.tree_leaves(m)):
+                if m_ and g_.dtype != jax.dtypes.float0:
+                    tot = tot + jnp.sum(g_.astype(jnp.float32) ** 2)
+            return tot
+
+        def bwd_body(carry, inp):
+            g, ps, os_, gn = carry
+            x_in, i = inp
+            rep_p = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, False), ps)
+            rep_o = jax.tree_util.tree_map(
+                lambda a: (a if _is_empty(a)
+                           else jax.lax.dynamic_index_in_dim(a, i, 0, False)),
+                os_, is_leaf=_is_empty)
+            # per-repeat remat: the vjp re-runs this repeat's forward from
+            # the saved input with the PRE-update params
+            _, vjp_px = jax.vjp(
+                lambda p, x: rep_forward(p, x, positions, batch.segment_ids),
+                rep_p, x_in)
+            dparams, dx = vjp_px((g, aux_cot))
+            gn = gn + _masked_sq_norm(dparams, mask_stacked)
+            new_p, new_o = adafactor.update_tree(
+                rep_p, dparams, rep_o, mask_stacked, count, lr, **af_kw)
+            ps = jax.tree_util.tree_map(
+                lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v, i, 0),
+                ps, new_p)
+            os_ = jax.tree_util.tree_map(
+                lambda a, v: (a if _is_empty(a)
+                              else jax.lax.dynamic_update_index_in_dim(
+                                  a, v, i, 0)),
+                os_, new_o, is_leaf=_is_empty)
+            return (dx, ps, os_, gn), None
+
+        (g0, new_pstack, new_ostack, gnorm_sq), _ = jax.lax.scan(
+            bwd_body, (g_last, tuple(pstack), tuple(ostack),
+                       jnp.zeros((), jnp.float32)),
+            (x_ins, jnp.arange(reps)), reverse=True)
+
+        # --- projector grads + update ---
+        (d_proj,) = head_vjp(g0)
+        gnorm_sq = gnorm_sq + _masked_sq_norm(d_proj, mask["projector"])
+        new_proj, new_proj_o = adafactor.update_tree(
+            params["projector"], d_proj, state.opt_state["projector"],
+            mask["projector"], count, proj_lr, **af_kw)
+
+        new_params = dict(params)
+        new_params["projector"] = new_proj
+        new_llm = dict(params["llm"])
+        new_llm["layers"] = {"stacked": list(new_pstack)}
+        new_params["llm"] = new_llm
+        new_opt = {"layers": list(new_ostack), "projector": new_proj_o}
+
+        loss = loss_main + coef * aux_total
+        metrics: Metrics = {
+            "loss": loss, "loss/align": kd_loss, "num_tokens": num_tokens,
+            "grad_norm": jnp.sqrt(gnorm_sq),
+        }
+        if tcfg.align_loss_type == "kd_lm":
+            metrics["loss/lm"] = ce_loss
+        if coef:
+            metrics["loss/moe_balance"] = aux_total
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return step
