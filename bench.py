@@ -9,12 +9,14 @@ Prints ONE JSON line:
 vs_baseline = achieved model FLOPs utilization / 0.40 (the 40%-MFU north
 star from BASELINE.md; the reference repo publishes no throughput numbers).
 
-The default (headline) workload is BENCH_CONFIG=flagship_fit — the config
-of record's shapes on one v5e (16 GB): Qwen1.5-1.8B student upcycled to a
-4-expert top-2 MoE every 2nd layer (2.24B activated), int8-W8A8 7B-class
-teacher, shared CLIP-ViT-L/336 tower, T=2048, bf16, fused KD+CE.  See
-main() for the other configs; scale knobs via env: BENCH_BATCH, BENCH_SEQ,
-BENCH_STEPS, ... (grep env( below).
+The default (headline) workload is BENCH_CONFIG=flagship — the config of
+record on one v5e (16 GB): Qwen1.5-1.8B student upcycled to a 4-expert
+top-2 MoE every 2nd layer (2.24B activated), int8-W8A8 7B-class teacher,
+shared CLIP-ViT-L/336 tower, T=2048, bf16, fused KD+CE, and the RECORD
+train set (all expert/dense FFNs + routers, 2.03B trainable) via
+Adafactor + the fused backward+update step.  See main() for the other
+configs; scale knobs via env: BENCH_BATCH, BENCH_SEQ, BENCH_STEPS, ...
+(grep env( below).
 """
 
 import functools
@@ -66,24 +68,25 @@ def _summarize_profile(profile_dir: str, top: int = 40, steps: int = 3):
 
 def main():
     """Dispatch on BENCH_CONFIG:
-      flagship_fit — THE HEADLINE (default): largest faithful
-                     instantiation of the config of record that fits one
-                     v5e — record shapes (1.8B->4-expert-top-2 MoE student
-                     = 3.06B params / 2.24B activated, int8-W8A8 7B-class
-                     teacher, T=2048, fused KD+CE objective), router-only
-                     train set (the record's FFN dw/opt state alone
-                     exceeds 16 GB); honest 4P_s+2P_t FLOPs accounting.
-      flagship     — the record train set too (all FFN + router).  Does
-                     NOT fit one v5e (compile: "25.73G of 15.75G"; see
-                     BENCH_NOTES HBM budget) — attempts anyway so the OOM
-                     wall is on the record.
+      flagship     — THE HEADLINE (default): the config of record,
+                     INCLUDING its train set — record shapes
+                     (1.8B->4-expert-top-2 MoE student = 3.06B params /
+                     2.24B activated, int8-W8A8 7B-class teacher, T=2048,
+                     fused KD+CE objective) with every FFN + router
+                     trainable (2.03B params,
+                     dense2sparse_distillation.sh:56).  Fits one 16 GB
+                     v5e via Adafactor + int8 frozen tensors + the fused
+                     backward+update step (train/fused_steps.py).
+      flagship_fit — the round-2 headline: same shapes, router-only
+                     train set, whole student body int8-W8A8 (the QAT
+                     serving recipe); 4P_s+2P_t FLOPs accounting.
       default      — small-config datapoint: 0.5B-MoE student + 1.8B int8
                      teacher, T=1024 (the round-1 headline).
       eval         — batched cached generation (eval/generate.py path) vs
                      the reference's bs=1 use_cache=False algorithm
                      (model_vqa_loader.py:118-130) measured on this chip.
     """
-    cfg_name = os.environ.get("BENCH_CONFIG", "flagship_fit")
+    cfg_name = os.environ.get("BENCH_CONFIG", "flagship")
     if cfg_name == "eval":
         return bench_eval()
     return bench_distill(cfg_name)

@@ -198,7 +198,8 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             return x_out, (x, aux)
 
         x_last, (x_ins, aux_per_rep) = jax.lax.scan(
-            fwd_body, x0, tuple(pstack))
+            fwd_body, x0, tuple(pstack),
+            unroll=max(1, cfg.llm.scan_unroll))
         aux_total = jnp.sum(aux_per_rep)
 
         # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last ---
@@ -270,7 +271,8 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
         (g0, new_pstack, new_ostack, gnorm_sq), _ = jax.lax.scan(
             bwd_body, (g_last, tuple(pstack), tuple(ostack),
                        jnp.zeros((), jnp.float32)),
-            (x_ins, jnp.arange(reps)), reverse=True)
+            (x_ins, jnp.arange(reps)), reverse=True,
+            unroll=max(1, cfg.llm.scan_unroll))
 
         # --- projector grads + update ---
         (d_proj,) = head_vjp(g0)
