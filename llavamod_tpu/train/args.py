@@ -84,6 +84,15 @@ class TrainArgs:
     max_steps: int = -1                 # -1 = derive from epochs
     learning_rate: float = 2e-5
     mm_projector_lr: Optional[float] = None
+    # adamw = the reference recipe; adafactor = factored second moments
+    # (~0 optimizer bytes/param) for train sets whose Adam state exceeds
+    # HBM (the record FFN+router set on one v5e)
+    optimizer: str = "adamw"
+    # align-only: apply the Adafactor update per layer-repeat INSIDE the
+    # backward scan (train/fused_steps.py) so the full gradient tree is
+    # never resident.  Requires --optimizer adafactor, no LoRA, no grad
+    # accumulation, scan_layers + prestacked params.
+    fused_update: bool = False
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03
     lr_scheduler_type: str = "cosine"
@@ -237,6 +246,7 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
     kw = dict(
         learning_rate=targs.learning_rate,
         mm_projector_lr=targs.mm_projector_lr,
+        optimizer=targs.optimizer,
         weight_decay=targs.weight_decay,
         max_grad_norm=targs.max_grad_norm,
         warmup_ratio=targs.warmup_ratio,

@@ -72,6 +72,9 @@ def _check_supported(student_cfg: LlavaConfig, tcfg: TrainConfig, mask):
     assert tcfg.optimizer == "adafactor", (
         "the fused backward applies per-repeat Adafactor updates; "
         "set optimizer='adafactor'")
+    assert tcfg.grad_accum_steps <= 1, (
+        "fused updates happen inside the backward — gradient accumulation "
+        "would reintroduce the full-gradient buffer")
     assert student_cfg.llm.scan_layers, "fused step requires scan_layers"
     assert _DTYPES[tcfg.compute_dtype] is not None
     # every trainable leaf must live in the layer stack or the projector:

@@ -594,14 +594,34 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         params = dev.shard_params(params)
         if teacher_params is not None:
             teacher_params = dev.shard_params(teacher_params)
-        state = TrainState.create(params, tcfg, lora_cfg)
+        fused = bool(getattr(targs, "fused_update", False))
+        if fused:
+            if stage != "align":
+                raise ValueError("--fused_update is align-stage only")
+            if lora_cfg is not None:
+                raise ValueError("--fused_update does not support LoRA")
+            if tcfg.grad_accum_steps > 1:
+                raise ValueError("--fused_update updates inside the "
+                                 "backward; gradient accumulation would "
+                                 "need a separate grad buffer (the thing "
+                                 "it exists to avoid)")
+            from llavamod_tpu.train.fused_steps import (
+                init_fused_state,
+                make_fused_align_step,
+            )
+
+            state = init_fused_state(params, cfg, tcfg)
+        else:
+            state = TrainState.create(params, tcfg, lora_cfg)
         state, resumed = maybe_auto_resume(targs.output_dir, state)
         if resumed:
             rank0_print(f"[ckpt] auto-resumed from {resumed}")
         start_step = int(state.step)
 
         if stage == "align":
-            step_fn = make_align_step(cfg, teacher_cfg, tcfg, lora_cfg)
+            step_fn = (make_fused_align_step(cfg, teacher_cfg, tcfg)
+                       if fused
+                       else make_align_step(cfg, teacher_cfg, tcfg, lora_cfg))
             call = lambda st, b: step_fn(st, teacher_params,  # noqa: E731
                                          batch_from_arrays(b))
         elif stage == "dpo":

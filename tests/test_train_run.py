@@ -198,6 +198,53 @@ def test_align_with_int8_teacher(stage_dirs, tmp_path):
     assert np.isfinite(metrics["loss"])
 
 
+def test_align_fused_adafactor(stage_dirs, tmp_path):
+    """--optimizer adafactor --fused_update: the record-train-set memory
+    path (per-repeat updates inside the backward scan) through the real
+    align entry — trains, checkpoints, and the FFNs actually move."""
+    _, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_fused")
+    cfg0, params0 = load_model(model_dir)
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=model_dir, version="qwen",
+                  moe_enable=True, moe_mode="sparse", num_experts=2,
+                  top_k_experts=1,
+                  train_modules=["mlp.gate_proj", "mlp.up_proj",
+                                 "mlp.down_proj", "wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, model_max_length=256, optimizer="adafactor",
+               fused_update=True, learning_rate=1e-2),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir,
+                         loss_type="kd_lm", moe_loss_enable=True),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    assert "loss/align" in metrics and "grad_norm" in metrics
+    cfg2, params2 = load_model(out)
+    assert cfg2.llm.is_moe
+    before = np.asarray(params0["llm"]["layers"][1]["mlp"]["up"],
+                        np.float32)
+    after = np.asarray(params2["llm"]["layers"][1]["mlp"]["up"], np.float32)
+    assert np.abs(after - before).max() > 0  # dense-layer FFN trained
+    ex = params2["llm"]["layers"][0]["mlp"]
+    assert "experts" in ex
+    e_before = np.asarray(params0["llm"]["layers"][0]["mlp"]["up"],
+                          np.float32)
+    e_after = np.asarray(ex["experts"]["up"], np.float32)
+    assert np.abs(e_after - e_before[None]).max() > 0  # experts trained
+
+
+def test_fused_update_rejects_grad_accum():
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.fused_steps import _check_supported
+
+    with pytest.raises(AssertionError, match="accumulation"):
+        _check_supported(
+            None, TrainConfig(optimizer="adafactor", grad_accum_steps=2),
+            {})
+
+
 def test_pretrain_stage_full_sft_when_flag_off(stage_dirs, tmp_path):
     """tune_mm_mlp_adapter=false through train.py = full SFT (reference
     train/train.py semantics: the flag drives freezing, not the script)."""
