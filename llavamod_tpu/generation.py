@@ -105,11 +105,13 @@ def _prefill_jit(params, cfg: LlavaConfig, batch: MultimodalBatch,
     positions = jnp.maximum(jnp.cumsum(seg, axis=1) - 1, 0)
     prompt_len = jnp.sum(seg, axis=1)  # [B] real lengths
 
-    cache = decoder.init_cache(cfg.llm, b, total, dtype=cache_dtype)
+    cache = decoder.constrain_cache(
+        decoder.init_cache(cfg.llm, b, total, dtype=cache_dtype))
     # attn_impl="fresh": the cache is empty, so prefill attention runs on the
     # chunk's own K/V through the flash kernel (decoder.attention_forward)
     out = llava.forward(params, cfg, batch._replace(positions=positions),
                         cache=cache, train=False, attn_impl="fresh")
+    out = out._replace(cache=decoder.constrain_cache(out.cache))
     last_logits = llava.logits(params, cfg, out.hidden[:, -1:])[:, 0]
 
     is_eos, push_window, window_stopped, win = _stop_machinery(gcfg, b)
@@ -145,7 +147,8 @@ def _decode_chunk_jit(params, cfg: LlavaConfig, gcfg: GenerationConfig,
         nxt = jnp.where(done, gcfg.pad_token_id, nxt)
         new_window = push_window(window, nxt)
         new_done = done | is_eos(nxt) | window_stopped(new_window)
-        return (dout.cache, nxt, new_done, new_window, key), nxt
+        return (decoder.constrain_cache(dout.cache), nxt, new_done,
+                new_window, key), nxt
 
     carry, toks = jax.lax.scan(body, carry, start + jnp.arange(chunk))
     return carry, jnp.swapaxes(toks, 0, 1)

@@ -158,6 +158,41 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+def constrain_cache(cache: KVCache) -> KVCache:
+    """Pin the KV cache's sharding under an ambient mesh: batch over
+    (data, fsdp), everything else replicated.
+
+    Without this, GSPMD's sharding inference inside the decode scan can
+    pick pathological layouts for the cache carry (e.g. LAYER-dim sharded
+    over data — seen as "Involuntary full rematerialization" warnings on
+    the round-2 multichip dryrun's decode loop).  No-op when no mesh (the
+    single-chip serving path)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return cache
+    from jax.sharding import PartitionSpec as P
+
+    batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    if not batch_axes:
+        return cache
+    import numpy as _np
+
+    n_shards = int(_np.prod([mesh.shape[a] for a in batch_axes]))
+    wsc = jax.lax.with_sharding_constraint
+
+    def c(x, batch_dim, ndim):
+        if x is None:
+            return None
+        dims = [None] * ndim
+        if x.shape[batch_dim] % n_shards == 0:
+            dims[batch_dim] = batch_axes
+        return wsc(x, P(*dims))
+
+    return KVCache(
+        c(cache.k, 1, 5), c(cache.v, 1, 5), c(cache.segment, 0, 2),
+        cache.length, c(cache.k_scale, 1, 4), c(cache.v_scale, 1, 4))
+
+
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
     """dtype: jnp dtype, or the string 'int8' for a quantized cache

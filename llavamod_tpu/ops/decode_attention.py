@@ -141,6 +141,64 @@ def flash_decode(
     block_s: int = DEFAULT_BLOCK_S,
     block_b: Optional[int] = None,
 ) -> jnp.ndarray:
+    """flash-decode, batch-partitioned under an ambient mesh.
+
+    GSPMD has no partitioning rule for a pallas_call, so under a mesh it
+    would REPLICATE every operand — including the whole KV cache — per
+    decode step (seen as "Involuntary full rematerialization" warnings in
+    the multichip dryrun).  When a mesh with data/fsdp axes is ambient and
+    they divide B, re-enter through shard_map so each device runs the
+    kernel on its own batch shard; otherwise fall through to the plain
+    single-device call."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and not mesh.empty:
+        import numpy as _np
+        from jax.sharding import PartitionSpec as P
+
+        batch_axes = tuple(a for a in ("data", "fsdp")
+                           if a in mesh.axis_names)
+        n = (int(_np.prod([mesh.shape[a] for a in batch_axes]))
+             if batch_axes else 1)
+        if n > 1 and q.shape[0] % n == 0:
+            args = [q, k, v, kv_seg]
+            if k_scale is not None:
+                args += [k_scale, v_scale]
+            specs = tuple(P(batch_axes, *([None] * (a.ndim - 1)))
+                          for a in args)
+
+            def inner(*xs):
+                if len(xs) == 6:
+                    q_, k_, v_, seg_, ks_, vs_ = xs
+                else:
+                    (q_, k_, v_, seg_), ks_, vs_ = xs, None, None
+                return _flash_decode_local(
+                    q_, k_, v_, kv_seg=seg_, k_scale=ks_, v_scale=vs_,
+                    scale=scale, softcap=softcap, block_s=block_s,
+                    block_b=block_b)
+
+            # check_vma=False: pallas_call outputs carry no varying-mesh-
+            # axes annotation, which the checker would require
+            return jax.shard_map(inner, mesh=mesh, in_specs=specs,
+                                 out_specs=specs[0],
+                                 check_vma=False)(*args)
+    return _flash_decode_local(q, k, v, kv_seg=kv_seg, k_scale=k_scale,
+                               v_scale=v_scale, scale=scale, softcap=softcap,
+                               block_s=block_s, block_b=block_b)
+
+
+def _flash_decode_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_seg: jnp.ndarray,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    block_s: int = DEFAULT_BLOCK_S,
+    block_b: Optional[int] = None,
+) -> jnp.ndarray:
     """Single-step cached attention.
 
     q:       [B, H, D] current-token queries.

@@ -8,7 +8,7 @@ expert einsums).
 
 Default layout (row = param, axes = (data, fsdp, expert, tensor)):
 
-  embedding / lm_head [V, D]        -> (tensor, fsdp)
+  embedding / lm_head [V, D]        -> ((tensor, fsdp), None)  # vocab-dim
   attn in-proj  [D, H*dh]           -> (fsdp, tensor)
   attn out-proj [H*dh, D]           -> (tensor, fsdp)
   mlp in  [D, F]                    -> (fsdp, tensor)
@@ -63,9 +63,13 @@ def _spec_for(path: str, ndim: int) -> P:
     if base_ndim <= 1:
         return wrap([None] * base_ndim)  # norms, biases, scalars
 
-    # --- vocab-carrying matrices ---
+    # --- vocab-carrying matrices: shard the VOCAB dim (Megatron-style),
+    # never the feature dim.  Feature-dim (fsdp-on-D) sharding forced the
+    # [B, T, D] embedding GRADIENT to reshard batch->feature before its
+    # scatter-add whenever the embedding trains — the SPMD "involuntary
+    # full rematerialization" warning in the round-2 multichip dryrun.
     if "embedding" in path or "lm_head" in path:
-        return wrap(["tensor", "fsdp"])
+        return wrap([("tensor", "fsdp"), None])
 
     # --- router: tiny, replicate the expert dim ---
     if path.endswith("router") or path.endswith("coef"):
