@@ -7,6 +7,12 @@ datasets, checkpoints, and prompts are interchangeable.
 # Token-level sentinels (same values as reference constants.py:6-8).
 IGNORE_INDEX = -100          # label value for positions excluded from the loss
 IMAGE_TOKEN_INDEX = -200     # splice marker produced by tokenize_with_images
+# TPU-side extra: one marker for a WHOLE video when the video projector is
+# active.  The reference has no such index — it expands <video> into
+# num_frames x <image> (data_utils.py:125-151) because its video projector
+# path consumes per-frame features ad hoc; here the splice needs one
+# placeholder that expands to video_projector.num_output_tokens slots.
+VIDEO_TOKEN_INDEX = -201
 
 # Prompt-level placeholder strings (reference constants.py:10-21).
 DEFAULT_IMAGE_TOKEN = "<image>"

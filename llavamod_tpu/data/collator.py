@@ -18,9 +18,11 @@ from llavamod_tpu.data.splice import SplicedSample, expand_image_tokens
 
 
 def _stack_spliced(samples: List[SplicedSample], max_images: int,
-                   num_image_tokens: int, prefix: str = "") -> Dict[str, np.ndarray]:
+                   num_image_tokens: int, prefix: str = "",
+                   video_rows: int = 0) -> Dict[str, np.ndarray]:
     b = len(samples)
-    per_sample_rows = max_images * num_image_tokens
+    # per-sample media table = [image rows | video rows] (data/splice.py)
+    per_sample_rows = max_images * num_image_tokens + video_rows
     image_pos = np.stack([s.image_slot for s in samples])
     offsets = (np.arange(b) * per_sample_rows)[:, None]
     image_pos = image_pos + offsets  # global row index into [B*M*N, D]
@@ -47,6 +49,24 @@ def _stack_pixels(pixel_list: List[Optional[np.ndarray]], max_images: int,
     return {"pixels": pixels, "pixel_valid": valid}
 
 
+def _stack_video_pixels(samples: Sequence[Dict[str, Any]], num_frames: int,
+                        image_size: int) -> Dict[str, np.ndarray]:
+    """video frames [F, 3, S, S] per sample -> [B, F, 3, S, S] + validity
+    (frames beyond a sample's real count stay zero; MAX_VIDEO_LENGTH=1
+    per reference constants.py:24, so one video slot per sample)."""
+    b = len(samples)
+    pixels = np.zeros((b, num_frames, 3, image_size, image_size), np.float32)
+    valid = np.zeros((b,), bool)
+    for i, s in enumerate(samples):
+        vx = s.get("video_pixels")
+        if vx is None:
+            continue
+        f = min(vx.shape[0], num_frames)
+        pixels[i, :f] = vx[:f]
+        valid[i] = True
+    return {"video_pixels": pixels, "video_valid": valid}
+
+
 @dataclasses.dataclass
 class SupervisedCollator:
     max_len: int
@@ -54,18 +74,27 @@ class SupervisedCollator:
     image_size: int = 336
     max_images: int = 1
     pad_id: int = 0
+    # video-projector mode (LlavaConfig.video_projector_type set):
+    num_video_tokens: int = 0         # video projector output tokens
+    num_video_frames: int = 8         # static per-video frame budget
 
     def __call__(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         spliced = [
             expand_image_tokens(
                 s["input_ids"], s["labels"],
                 num_image_tokens=self.num_image_tokens, max_len=self.max_len,
-                max_images=self.max_images, pad_id=self.pad_id)
+                max_images=self.max_images, pad_id=self.pad_id,
+                num_video_tokens=self.num_video_tokens)
             for s in samples
         ]
-        batch = _stack_spliced(spliced, self.max_images, self.num_image_tokens)
+        batch = _stack_spliced(spliced, self.max_images,
+                               self.num_image_tokens,
+                               video_rows=self.num_video_tokens)
         batch.update(_stack_pixels([s.get("pixels") for s in samples],
                                    self.max_images, self.image_size))
+        if self.num_video_tokens:
+            batch.update(_stack_video_pixels(samples, self.num_video_frames,
+                                             self.image_size))
         return batch
 
 

@@ -50,7 +50,8 @@ class _JsonDatasetBase:
                  is_multimodal: bool = True,
                  num_frames: int = 8,
                  use_im_start_end: bool = False,
-                 seed: int = 0):
+                 seed: int = 0,
+                 video_projector: bool = False):
         if isinstance(data_paths, str):
             data_paths = [data_paths]
         self.records = load_json_records(data_paths)
@@ -62,6 +63,7 @@ class _JsonDatasetBase:
         self.is_multimodal = is_multimodal
         self.num_frames = num_frames
         self.use_im_start_end = use_im_start_end
+        self.video_projector = video_projector
         self._rng = random.Random(seed)
 
     def __len__(self):
@@ -82,6 +84,31 @@ class _JsonDatasetBase:
                 img = Image.new("RGB", (_FALLBACK_SIZE, _FALLBACK_SIZE), (0, 0, 0))
             images.append(img)
         return self.image_preprocessor(images)
+
+    def _load_video(self, rec: dict) -> Optional[np.ndarray]:
+        """Video-projector mode: the record's 'video' is a list of frame
+        image files (or a directory of frames); evenly subsample to
+        num_frames (order_pick_k, reference utils.py:17) -> [F, 3, S, S]."""
+        if "video" not in rec or not self.video_projector:
+            return None
+        src = rec["video"]
+        if isinstance(src, str) and os.path.isdir(
+                os.path.join(self.image_folder, src)):
+            d = os.path.join(self.image_folder, src)
+            files = [os.path.join(src, f) for f in sorted(os.listdir(d))]
+        else:
+            files = src if isinstance(src, list) else [src]
+        files = order_pick_k(files, self.num_frames, seed=rec.get("id"))
+        frames = []
+        for f in files:
+            try:
+                img = Image.open(os.path.join(self.image_folder, f)).convert("RGB")
+            except (IOError, OSError) as exc:
+                print(f"Error opening frame {f}: {exc}, using fallback.")
+                img = Image.new("RGB", (_FALLBACK_SIZE, _FALLBACK_SIZE),
+                                (0, 0, 0))
+            frames.append(img)
+        return self.image_preprocessor(frames)
 
     def _conversations(self, rec: dict) -> list:
         raise NotImplementedError
@@ -117,20 +144,25 @@ class SupervisedJsonDataset(_JsonDatasetBase):
     def get(self, i: int) -> Dict[str, Any]:
         rec = self.records[i]
         pixels = self._load_images(rec)
+        video_pixels = self._load_video(rec)
         convs = [rec["conversations"]]
-        if pixels is not None or self.is_multimodal:
+        if pixels is not None or video_pixels is not None or self.is_multimodal:
             convs = preprocess_multimodal_text(
                 convs, num_frames=self.num_frames,
-                use_im_start_end=self.use_im_start_end)
+                use_im_start_end=self.use_im_start_end,
+                keep_video_token=self.video_projector)
         tok = preprocess_conversations(convs, self.tokenizer,
                                        self.template_name,
                                        self.model_max_length)
-        return {
+        out = {
             "input_ids": tok.input_ids,
             "labels": tok.labels,
             "pixels": pixels,
             "id": rec["id"],
         }
+        if video_pixels is not None:
+            out["video_pixels"] = video_pixels
+        return out
 
 
 class PreferenceJsonDataset(_JsonDatasetBase):

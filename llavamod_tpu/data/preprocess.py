@@ -46,10 +46,16 @@ class TokenizedSample:
 
 
 def preprocess_multimodal_text(sources, *, num_frames: int = 8,
-                               use_im_start_end: bool = False):
+                               use_im_start_end: bool = False,
+                               keep_video_token: bool = False):
     """Normalize image/video placeholders in conversation text (in place on a
     copied structure).  sources: list of conversations, each a list of
-    {'from': 'human'|'gpt', 'value': str}."""
+    {'from': 'human'|'gpt', 'value': str}.
+
+    keep_video_token: video-projector mode — '<video>' survives as ONE
+    placeholder (tokenized to VIDEO_TOKEN_INDEX, expanded by data/splice.py
+    to the projector's token count) instead of the reference's
+    num_frames x '<image>' expansion (data_utils.py:125-151)."""
     out = [[dict(turn) for turn in src] for src in sources]
     for src in out:
         for turn in src:
@@ -63,12 +69,14 @@ def preprocess_multimodal_text(sources, *, num_frames: int = 8,
                 if n_vid > MAX_VIDEO_LENGTH:
                     raise ValueError(f"too many videos in: {text!r}")
             img_rep = DEFAULT_IMAGE_TOKEN
-            vid_rep = DEFAULT_IMAGE_TOKEN * num_frames
+            vid_rep = (DEFAULT_VIDEO_TOKEN if keep_video_token
+                       else DEFAULT_IMAGE_TOKEN * num_frames)
             if use_im_start_end:
                 img_rep = DEFAULT_IM_START_TOKEN + img_rep + DEFAULT_IM_END_TOKEN
                 vid_rep = DEFAULT_IM_START_TOKEN + vid_rep + DEFAULT_IM_END_TOKEN
+            text = text.replace(DEFAULT_VIDEO_TOKEN, "\x00VID\x00")
             text = text.replace(DEFAULT_IMAGE_TOKEN, img_rep)
-            text = text.replace(DEFAULT_VIDEO_TOKEN, vid_rep)
+            text = text.replace("\x00VID\x00", vid_rep)
             turn["value"] = text
     return out
 

@@ -24,7 +24,11 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from llavamod_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from llavamod_tpu.constants import (
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    VIDEO_TOKEN_INDEX,
+)
 
 
 @dataclasses.dataclass
@@ -36,6 +40,7 @@ class SplicedSample:
     image_slot: np.ndarray
     num_images: int
     length: int  # unpadded length (after truncation)
+    num_videos: int = 0
 
 
 def expand_image_tokens(
@@ -47,16 +52,28 @@ def expand_image_tokens(
     max_images: int,
     pad_id: int = 0,
     pad_side: str = "right",
+    num_video_tokens: int = 0,
+    max_videos: int = 1,
 ) -> SplicedSample:
+    """Expand IMAGE_TOKEN_INDEX / VIDEO_TOKEN_INDEX placeholders.
+
+    The per-sample feature table is laid out [image rows | video rows]:
+    image m's feature j lives at slot m*num_image_tokens + j, video v's
+    token j at max_images*num_image_tokens + v*num_video_tokens + j; the
+    collator adds the batch offset (b * table width) so image_pos indexes
+    the model's flattened per-batch media table (llava.multimodal_embed).
+    """
     ids = list(input_ids)
     labs = list(labels) if labels is not None else [IGNORE_INDEX] * len(ids)
     assert len(ids) == len(labs)
 
+    video_base = max_images * num_image_tokens
     out_ids: List[int] = []
     out_labs: List[int] = []
     out_mask: List[bool] = []
     out_slot: List[int] = []
     img_idx = 0
+    vid_idx = 0
     for tok, lab in zip(ids, labs):
         if tok == IMAGE_TOKEN_INDEX:
             if img_idx >= max_images:
@@ -69,6 +86,15 @@ def expand_image_tokens(
             out_mask.extend([True] * num_image_tokens)
             out_slot.extend(range(base, base + num_image_tokens))
             img_idx += 1
+        elif tok == VIDEO_TOKEN_INDEX:
+            if vid_idx >= max_videos or num_video_tokens <= 0:
+                continue
+            base = video_base + vid_idx * num_video_tokens
+            out_ids.extend([0] * num_video_tokens)
+            out_labs.extend([IGNORE_INDEX] * num_video_tokens)
+            out_mask.extend([True] * num_video_tokens)
+            out_slot.extend(range(base, base + num_video_tokens))
+            vid_idx += 1
         else:
             out_ids.append(tok)
             out_labs.append(lab)
@@ -97,4 +123,5 @@ def expand_image_tokens(
         image_slot=fit(out_slot, 0).astype(np.int32),
         num_images=img_idx,
         length=length,
+        num_videos=vid_idx,
     )

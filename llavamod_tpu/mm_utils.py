@@ -120,8 +120,24 @@ def tokenize_with_images(
     Splits on '<image>', tokenizes each text chunk, and splices
     `image_token_index` (-200) between chunks; a leading BOS emitted by the
     tokenizer is kept once at the front and stripped from later chunks.
-    Matches reference mm_utils.py:43-62 exactly.
+    Matches reference mm_utils.py:43-62 exactly.  A surviving '<video>'
+    placeholder (video-projector mode, see preprocess_multimodal_text)
+    becomes VIDEO_TOKEN_INDEX (-201) via the same mechanism.
     """
+    from llavamod_tpu.constants import VIDEO_TOKEN_INDEX
+
+    if "<video>" in prompt:
+        parts = prompt.split("<video>")
+        ids: List[int] = tokenize_with_images(parts[0], tokenizer,
+                                              image_token_index)
+        for part in parts[1:]:
+            ids.append(VIDEO_TOKEN_INDEX)
+            chunk = tokenize_with_images(part, tokenizer, image_token_index)
+            bos = getattr(tokenizer, "bos_token_id", None)
+            if chunk and bos is not None and chunk[0] == bos:
+                chunk = chunk[1:]
+            ids.extend(chunk)
+        return ids
     chunks = [tokenizer(c).input_ids for c in prompt.split("<image>")]
 
     bos = getattr(tokenizer, "bos_token_id", None)

@@ -46,6 +46,14 @@ class LlavaConfig:
     max_images: int = 1                  # static per-sample image budget
     freeze_vision: bool = True
     s2_scales: Tuple[int, ...] = ()      # e.g. (336, 672) enables S2
+    # --- optional video projector bundle (reference multimodal_projector/
+    # builder.py:125-205: build_projector pairs the image projector with an
+    # optional video projector + forward_image/forward_video).  None = off.
+    video_projector_type: Optional[str] = None
+    video_global_proj: bool = False
+    video_temporal_proj: bool = False
+    video_spatial_proj: bool = False
+    num_video_frames: int = 8            # static per-video frame budget
 
     @property
     def vision_feature_dim(self) -> int:
@@ -59,6 +67,26 @@ class LlavaConfig:
     @property
     def num_image_tokens(self) -> int:
         return self.build_projector().num_output_tokens(self.vision.num_patches)
+
+    def build_video_projector(self):
+        assert self.video_projector_type is not None
+        from llavamod_tpu.models.video import (VideoProjectorConfig,
+                                               build_video_projector)
+
+        return build_video_projector(
+            VideoProjectorConfig(projector_type=self.video_projector_type,
+                                 global_proj=self.video_global_proj,
+                                 temporal_proj=self.video_temporal_proj,
+                                 spatial_proj=self.video_spatial_proj),
+            self.vision_feature_dim, self.llm.hidden_size)
+
+    @property
+    def num_video_tokens(self) -> int:
+        """Video-projector output tokens per video (0 when the path is off)."""
+        if self.video_projector_type is None:
+            return 0
+        return self.build_video_projector().num_output_tokens(
+            self.num_video_frames, self.vision.num_patches)
 
     def replace(self, **kw) -> "LlavaConfig":
         return dataclasses.replace(self, **kw)
@@ -74,19 +102,26 @@ class MultimodalBatch(NamedTuple):
     pixel_valid: jnp.ndarray  # [B, M] bool
     labels: Optional[jnp.ndarray] = None  # [B, T] int32 (-100 = ignored)
     positions: Optional[jnp.ndarray] = None
+    # video-projector mode only (LlavaConfig.video_projector_type set):
+    video_pixels: Optional[jnp.ndarray] = None  # [B, F, 3, S, S]
+    video_valid: Optional[jnp.ndarray] = None   # [B] bool
 
 
 def init(cfg: LlavaConfig, key, dtype=jnp.float32,
          llm_params: Optional[Params] = None,
          vision_params: Optional[Params] = None) -> Params:
-    k_v, k_p, k_l = jax.random.split(key, 3)
-    return {
+    k_v, k_p, k_l, k_vp = jax.random.split(key, 4)
+    params = {
         "vision": vision_params if vision_params is not None
         else vit.init(cfg.vision, k_v, dtype),
         "projector": cfg.build_projector().init(k_p, dtype=dtype),
         "llm": llm_params if llm_params is not None
         else decoder.init(cfg.llm, k_l, dtype),
     }
+    if cfg.video_projector_type is not None:
+        params["video_projector"] = cfg.build_video_projector().init(
+            k_vp, dtype=dtype)
+    return params
 
 
 def encode_tower(params: Params, cfg: LlavaConfig,
@@ -140,14 +175,46 @@ def multimodal_embed(params: Params, cfg: LlavaConfig,
     # pixels may cover fewer rows than the token batch (shared image sets)
     pixels = batch.pixels.reshape((-1,) + batch.pixels.shape[2:])
     feats = encode_images(params, cfg, pixels, tower_feats)  # [B*M, N, D]
-    n = feats.shape[1]
     valid = batch.pixel_valid.reshape(-1, 1, 1)
     feats = jnp.where(valid, feats, 0.0)
+
+    if cfg.video_projector_type is not None and batch.video_pixels is not None:
+        # per-sample media table = [image rows | video rows] — the layout
+        # data/splice.py indexed against
+        bi = batch.video_pixels.shape[0]
+        feats = feats.reshape(bi, -1, feats.shape[-1])
+        vfeats = encode_video(params, cfg, batch.video_pixels,
+                              batch.video_valid)
+        feats = jnp.concatenate([feats, vfeats.astype(feats.dtype)], axis=1)
     flat = feats.reshape(-1, feats.shape[-1])
 
     gathered = jnp.take(flat, batch.image_pos.reshape(-1), axis=0)
     gathered = gathered.reshape(b, t, -1).astype(emb.dtype)
     return jnp.where(batch.image_mask[..., None], gathered, emb)
+
+
+def encode_video(params: Params, cfg: LlavaConfig, video_pixels: jnp.ndarray,
+                 video_valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """[B, F, 3, S, S] frames -> [B, num_video_tokens, D] via the frozen
+    tower (per frame, CLS kept) and the video projector
+    (reference builder.py:151-198 forward_video semantics; models/video.py).
+    """
+    b, f = video_pixels.shape[:2]
+    px = video_pixels.reshape((-1,) + video_pixels.shape[2:])
+    hidden = vit.forward(params["vision"], cfg.vision, px, cfg.select_layer)
+    feats = vit.select_features(cfg.vision, hidden, "cls_patch")
+    if cfg.freeze_vision:
+        feats = jax.lax.stop_gradient(feats)
+    if not cfg.vision.use_class_token:
+        # the video projector splits [CLS | patches]; towers without a class
+        # token get a zero CLS row (global_proj off for such towers)
+        zeros = jnp.zeros_like(feats[:, :1])
+        feats = jnp.concatenate([zeros, feats], axis=1)
+    feats = feats.reshape(b, f, feats.shape[-2], feats.shape[-1])
+    out = cfg.build_video_projector().apply(params["video_projector"], feats)
+    if video_valid is not None:
+        out = jnp.where(video_valid.reshape(-1, 1, 1), out, 0.0)
+    return out
 
 
 class LlavaOutput(NamedTuple):

@@ -57,7 +57,9 @@ def trainable_mask(params, cfg: TrainConfig, lora_cfg=None) -> Any:
                     return False
         if p.startswith("vision"):
             return False
-        is_projector = p.startswith("projector")
+        # the video projector is part of the reference's mm_projector bundle
+        # (build_projector, builder.py:125-205) — same freeze/LR rules
+        is_projector = p.startswith("projector") or p.startswith("video_projector")
         if cfg.tune_mm_mlp_adapter:
             # stage-1 adaptor init trains ONLY the projector; driven by the
             # flag, not the script — the reference's train.py also does full
@@ -82,7 +84,8 @@ def _label_tree(params, cfg: TrainConfig, lora_cfg=None):
         p = _path_str(path)
         if p.startswith("base/"):
             p = p[len("base/"):]
-        if p.startswith("projector") and cfg.mm_projector_lr:
+        if (p.startswith("projector") or p.startswith("video_projector")) \
+                and cfg.mm_projector_lr:
             return "projector"
         return "default"
 

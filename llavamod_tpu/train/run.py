@@ -118,7 +118,15 @@ def build_llava(name_or_path: str, margs: ModelArgs, *, seed: int = 0,
         projector_type=margs.image_projector_type,
         select_layer=margs.mm_vision_select_layer,
         select_feature=margs.mm_vision_select_feature,
-        s2_scales=s2_scales)
+        s2_scales=s2_scales,
+        # video projector bundle (reference builder.py:125-205), enabled by
+        # --video_tower; frames run through the IMAGE tower (the reference
+        # stubs dedicated video towers out, multimodal_encoder/builder.py:39)
+        video_projector_type=(margs.video_projector_type
+                              if margs.video_tower else None),
+        video_global_proj=margs.video_global_proj,
+        video_temporal_proj=margs.video_temproal_proj,
+        video_spatial_proj=margs.video_spatial_proj)
     params = llava_mod.init(cfg, jax.random.PRNGKey(seed), dtype=dtype)
     return cfg, params
 
@@ -211,16 +219,23 @@ def build_data_module(stage: str, margs: ModelArgs, dargs: DataArgs,
         template_name=margs.version,
         model_max_length=targs.model_max_length,
         is_multimodal=dargs.is_multimodal,
-        num_frames=dargs.num_frames,
+        num_frames=(cfg.num_video_frames
+                    if cfg.video_projector_type is not None
+                    else dargs.num_frames),
         use_im_start_end=margs.mm_use_im_start_end,
-        seed=targs.seed)
+        seed=targs.seed,
+        video_projector=cfg.video_projector_type is not None)
 
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
     coll_cls = DPOCollator if stage == "dpo" else SupervisedCollator
+    coll_kw = {}
+    if stage != "dpo" and cfg.video_projector_type is not None:
+        coll_kw = dict(num_video_tokens=cfg.num_video_tokens,
+                       num_video_frames=cfg.num_video_frames)
     collator = coll_cls(max_len=targs.model_max_length,
                         num_image_tokens=cfg.num_image_tokens,
                         image_size=cfg.vision.image_size,
-                        max_images=cfg.max_images, pad_id=pad_id)
+                        max_images=cfg.max_images, pad_id=pad_id, **coll_kw)
 
     if targs.group_by_modality_length:
         sampler = LengthGroupedSampler(

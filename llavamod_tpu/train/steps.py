@@ -70,6 +70,10 @@ def batch_from_arrays(d: Dict[str, Any], prefix: str = "") -> MultimodalBatch:
         pixels=jnp.asarray(d["pixels"]),
         pixel_valid=jnp.asarray(d["pixel_valid"]),
         labels=g("labels"),
+        video_pixels=(jnp.asarray(d["video_pixels"])
+                      if "video_pixels" in d else None),
+        video_valid=(jnp.asarray(d["video_valid"])
+                     if "video_valid" in d else None),
     )
 
 
