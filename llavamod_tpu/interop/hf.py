@@ -68,6 +68,14 @@ def decoder_config_from_hf(hf_config) -> DecoderConfig:
     mpt/qwen-1.0, including the reference's embedded `moe` block
     (llava_qwen1_5_moe.py:48-81)."""
     mt = getattr(hf_config, "model_type", "llama")
+    # reference CHECKPOINT model_types (llava_qwen1_5.py:46 etc.) map onto
+    # their base modeling layout; qwen1_5 checkpoints use the Qwen2 modeling
+    # (reference vendored qwen1_5/modeling_qwen2.py)
+    if mt.startswith("moe_llava_"):
+        mt = mt[len("moe_llava_"):]
+    elif mt.startswith("llava_"):
+        mt = mt[len("llava_"):]
+    mt = {"qwen1_5": "qwen2"}.get(mt, mt)
     kw = _moe_kwargs_from_hf(hf_config)
 
     if mt == "mpt":
