@@ -228,12 +228,14 @@ class LlavaOutput(NamedTuple):
 def forward(params: Params, cfg: LlavaConfig, batch: MultimodalBatch,
             *, cache: Optional[decoder.KVCache] = None, train: bool = False,
             attn_impl: str = "auto", remat: bool = False,
-            tower_feats: Optional[jnp.ndarray] = None) -> LlavaOutput:
+            tower_feats: Optional[jnp.ndarray] = None,
+            prefix_mask: Optional[jnp.ndarray] = None) -> LlavaOutput:
     emb = multimodal_embed(params, cfg, batch, tower_feats)
     out = decoder.forward(
         params["llm"], cfg.llm, inputs_embeds=emb,
         positions=batch.positions, segment_ids=batch.segment_ids,
-        cache=cache, train=train, attn_impl=attn_impl, remat=remat)
+        cache=cache, train=train, attn_impl=attn_impl, remat=remat,
+        prefix_mask=prefix_mask)
     return LlavaOutput(out.hidden, out.aux_loss, out.moe_losses,
                        out.router_probs, out.cache)
 

@@ -707,7 +707,8 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                       layer_idx: int,
                       cache: Optional[KVCache],
                       attn_impl: str = "auto",
-                      cache_rows=None):
+                      cache_rows=None,
+                      prefix_mask: Optional[jnp.ndarray] = None):
     """x: [B, T, D].  Returns (out [B, T, D], updated (k,v,segment) or None).
 
     cache_rows: optional (k, v, k_scale, v_scale) per-layer cache arrays
@@ -848,7 +849,26 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
         if segment_ids is not None:
             segs = (segment_ids, segment_ids)
         bias = _alibi_bias(cfg, positions, positions) if cfg.alibi else None
-        if sliding is not None:
+        if prefix_mask is not None:
+            # Prefix-LM attention (the TPU-native form of the reference's
+            # MPT hf_prefixlm_converter.py: its `bidirectional_mask` lets
+            # every position attend to any PREFIX position, so the prefix
+            # is encoded bidirectionally while the suffix stays causal):
+            # allowed(q, k) = causal(q, k) OR prefix[k].
+            q_pos = positions[:, None, :, None]
+            kv_pos = positions[:, None, None, :]
+            mask = (kv_pos <= q_pos) | prefix_mask[:, None, None, :]
+            if segment_ids is not None:
+                seg_q = segment_ids[:, None, :, None]
+                seg_k = segment_ids[:, None, None, :]
+                mask = mask & (seg_q == seg_k) & (seg_k != 0)
+                segs = None
+            if sliding is not None:
+                mask = mask & (kv_pos > q_pos - sliding)
+            out = dot_product_attention(q, k, v, mask=mask, bias=bias,
+                                        causal=False, scale=scale,
+                                        softcap=softcap, impl="xla")
+        elif sliding is not None:
             q_pos = positions[:, None, :, None] if positions.ndim == 2 else (
                 jnp.arange(t)[None, None, :, None])
             kv_pos = q_pos.swapaxes(-1, -2)
@@ -875,7 +895,8 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
 
 def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
                   positions, segment_ids, layer_idx, cache,
-                  train: bool, attn_impl: str = "auto", cache_rows=None):
+                  train: bool, attn_impl: str = "auto", cache_rows=None,
+                  prefix_mask: Optional[jnp.ndarray] = None):
     is_moe_layer = cfg.is_moe and (layer_idx in cfg.moe_layers)
     aux = jnp.zeros((), jnp.float32)
     router_probs = None
@@ -886,7 +907,8 @@ def layer_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     normed = _norm(cfg, p["input_norm"], x)
     attn_out, new_kv = attention_forward(cfg, p["attn"], normed, positions,
                                          segment_ids, layer_idx, cache,
-                                         attn_impl, cache_rows)
+                                         attn_impl, cache_rows,
+                                         prefix_mask=prefix_mask)
     if cfg.post_attn_norm:
         attn_out = _norm(cfg, p["post_attn_norm"], attn_out)
 
@@ -1003,7 +1025,8 @@ def unstack_layers(cfg: DecoderConfig, params: Params) -> Params:
 
 
 def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
-                 train: bool, attn_impl: str, remat: bool):
+                 train: bool, attn_impl: str, remat: bool,
+                 prefix_mask=None):
     """lax.scan over period-stacked layers (prefill/training path, no cache).
 
     Layers are grouped into repeats of the structural period (e.g. 2 for the
@@ -1027,7 +1050,8 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
             # every repeat.
             x, _, aux, probs = layer_forward(
                 cfg, rep_params[j],
-                x, positions, segment_ids, j, None, train, attn_impl)
+                x, positions, segment_ids, j, None, train, attn_impl,
+                prefix_mask=prefix_mask)
             x = _seq_constraint(cfg, x)
             aux_sum = aux_sum + aux
             if probs is not None:
@@ -1141,6 +1165,7 @@ def forward(
     train: bool = False,
     attn_impl: str = "auto",
     remat: bool = False,
+    prefix_mask: Optional[jnp.ndarray] = None,
 ) -> DecoderOutput:
     """Run the decoder stack.  Provide input_ids OR inputs_embeds.
 
@@ -1164,7 +1189,8 @@ def forward(
     if cache is None and cfg.scan_layers and (
             stacked_tree or len(params["layers"]) > 1):
         x, aux_total, moe_losses, router_probs = _scan_layers(
-            params, cfg, x, positions, segment_ids, train, attn_impl, remat)
+            params, cfg, x, positions, segment_ids, train, attn_impl, remat,
+            prefix_mask=prefix_mask)
         x = _norm(cfg, params["final_norm"], x)
         return DecoderOutput(x, aux_total, moe_losses, router_probs, None)
 
@@ -1193,7 +1219,8 @@ def forward(
 
     for i, layer_params in enumerate(params["layers"]):
         x, kv, aux, probs = layer_fn(cfg, layer_params, x, positions,
-                                     segment_ids, i, cache, train, attn_impl)
+                                     segment_ids, i, cache, train, attn_impl,
+                                     None, prefix_mask)
         if cache is None:
             x = _seq_constraint(cfg, x)
         aux_total = aux_total + aux
