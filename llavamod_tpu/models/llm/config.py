@@ -94,6 +94,11 @@ class DecoderConfig:
     # residual memory scale 1/tp.  Requires an active mesh with a 'tensor'
     # axis (set by the trainer, not by model presets).
     seq_shard_activations: bool = False
+    # Pipeline parallelism (parallel/pipeline.py; beyond-reference like
+    # TP/SP): number of GPipe microbatches when the ambient mesh has a
+    # 'pipe' axis > 1.  0 = one microbatch per stage (the minimum; bubble
+    # fraction (P-1)/(M+P-1) shrinks as M grows).  Batch must divide M.
+    pipeline_microbatches: int = 0
 
     # --- compile strategy ---
     # lax.scan over (period-stacked) layers: one traced layer block instead of

@@ -1041,6 +1041,17 @@ def _scan_layers(params, cfg: DecoderConfig, x, positions, segment_ids,
         p = _layer_period(cfg)
         stacked, _ = _stack_period(layers, p)
 
+    from llavamod_tpu.parallel import pipeline
+
+    if pipeline.pipe_size() > 1:
+        # GPipe microbatch pipeline over the mesh 'pipe' axis (stages own
+        # contiguous repeat blocks).  Router-prob probes (gating dump) are
+        # not collected under PP — run non-pipelined to dump gating.
+        x, aux_total = pipeline.pipeline_layers(
+            cfg, stacked, x, positions, segment_ids, train, attn_impl,
+            remat, prefix_mask=prefix_mask)
+        return x, aux_total, (), ()
+
     def block(x, rep_params):
         aux_sum = jnp.zeros((), jnp.float32)
         probs_list = []

@@ -4,18 +4,22 @@ The reference scales with DeepSpeed ZeRO (data parallel) + DeepSpeed-MoE
 expert parallel over NCCL (SURVEY.md §2.10).  Here all parallelism is one
 `jax.sharding.Mesh` with four logical axes:
 
+  pipe   — pipeline parallelism (GPipe microbatch schedule over the
+           period-stacked layer repeats; parallel/pipeline.py)
   data   — batch data parallelism (ZeRO-equivalent grad sync via psum)
   fsdp   — parameter/optimizer sharding (ZeRO-3-equivalent, riding ICI)
   expert — expert parallelism for MoE layers (GSPMD emits the all-to-all)
   tensor — tensor parallelism (attention heads / FFN hidden / vocab)
 
 The reference has no TP/PP (builder.py:382-383 comments out mp_size); TP
-comes for free here.  Sequence parallelism (also absent upstream, SURVEY
-§2.10) rides the SAME 'tensor' axis: DecoderConfig.seq_shard_activations
-constrains the residual stream to be T-sharded between blocks and GSPMD
-emits the Megatron-SP all-gather/reduce-scatter pairs around the TP
-matmuls.  Multi-slice deployments put 'data' on DCN and the rest on ICI
-(axis order below keeps the ICI axes innermost/fastest).
+and PP come for free here.  Sequence parallelism (also absent upstream,
+SURVEY §2.10) rides the SAME 'tensor' axis: DecoderConfig.
+seq_shard_activations constrains the residual stream to be T-sharded
+between blocks and GSPMD emits the Megatron-SP all-gather/reduce-scatter
+pairs around the TP matmuls.  Axis order: 'pipe' is outermost — its
+traffic is one point-to-point activation transfer per pipeline tick, the
+cheapest to put on DCN in a multi-slice deployment; 'data' next (one grad
+all-reduce per step); the ICI-hungry axes innermost/fastest.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "expert", "tensor")
+AXES = ("pipe", "data", "fsdp", "expert", "tensor")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,10 +40,11 @@ class MeshConfig:
     fsdp: int = 1
     expert: int = 1
     tensor: int = 1
+    pipe: int = 1
 
     @property
     def size(self) -> int:
-        return self.data * self.fsdp * self.expert * self.tensor
+        return self.data * self.fsdp * self.expert * self.tensor * self.pipe
 
     @classmethod
     def auto(cls, n_devices: Optional[int] = None, *, expert: int = 1,
@@ -57,5 +62,6 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     cfg = cfg or MeshConfig.auto(len(devices))
     assert cfg.size == len(devices), (
         f"mesh {cfg} needs {cfg.size} devices, have {len(devices)}")
-    arr = np.asarray(devices).reshape(cfg.data, cfg.fsdp, cfg.expert, cfg.tensor)
+    arr = np.asarray(devices).reshape(cfg.pipe, cfg.data, cfg.fsdp,
+                                      cfg.expert, cfg.tensor)
     return Mesh(arr, AXES)

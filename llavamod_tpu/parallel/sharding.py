@@ -47,17 +47,19 @@ def _spec_for(path: str, ndim: int) -> P:
     """Sharding rule lookup by parameter path and rank.
 
     Pre-stacked layer trees (decoder.stack_layers) carry a leading
-    layers-per-period axis ('layers/stacked/{j}/...'): it stays unsharded
-    (scanned over) and the usual rules apply to the trailing dims."""
+    layers-per-period repeat axis ('layers/stacked/{j}/...'): it is sharded
+    over the 'pipe' axis (pipeline stages own contiguous repeat blocks;
+    parallel/pipeline.py) — identity when pipe=1, where the repeat axis is
+    simply scanned over — and the usual rules apply to the trailing dims."""
     is_expert = "/experts/" in path
     is_stacked = "/stacked/" in path
-    lead = (["expert"] if is_expert else []) + ([None] if is_stacked else [])
+    lead = (["expert"] if is_expert else []) + (["pipe"] if is_stacked else [])
     base_ndim = ndim - len(lead)
 
     def wrap(spec_dims):
         if is_stacked and is_expert:
             # stacked MoE experts: [reps, E, ...] — reps leads, then expert
-            return P(None, "expert", *spec_dims)
+            return P("pipe", "expert", *spec_dims)
         return P(*lead, *spec_dims)
 
     if base_ndim <= 1:
@@ -121,6 +123,9 @@ def fit_spec_to_shape(mesh: Mesh, spec: P, shape) -> P:
             fitted.append(None)
             continue
         ax_tuple = axes if isinstance(axes, tuple) else (axes,)
+        if any(a not in mesh.shape for a in ax_tuple):
+            fitted.append(None)  # mesh lacks the axis: replicate
+            continue
         size = int(np.prod([mesh.shape[a] for a in ax_tuple]))
         if i < len(shape) and shape[i] % size == 0:
             fitted.append(axes)

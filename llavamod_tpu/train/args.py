@@ -123,6 +123,13 @@ class TrainArgs:
     # T-sharded, cutting norm/residual activation memory by tensor_parallel.
     # Beyond-reference (SURVEY §2.10 lists SP as absent upstream).
     sequence_parallel: bool = False
+    # Pipeline parallelism over the mesh 'pipe' axis (GPipe microbatch
+    # schedule inside a pipe-manual shard_map, parallel/pipeline.py).
+    # Beyond-reference (the reference disables model parallelism,
+    # builder.py:382-383).  Stages own contiguous layer-repeat blocks;
+    # composes with data/fsdp/expert/tensor.
+    pipeline_parallel: int = 1          # mesh 'pipe' axis size
+    pipeline_microbatches: int = 0      # 0 = one microbatch per stage
     # Pre-stack the decoder layer trees outside the jitted step
     # (decoder.stack_layers).  Without it, the step's layer scan re-stacks
     # ALL weights into an HLO temp every call — one full extra weight copy

@@ -277,17 +277,19 @@ class _DeviceContext:
 
         n = jax.device_count()
         need = (targs.data_parallel * targs.expert_parallel
-                * targs.tensor_parallel)
+                * targs.tensor_parallel * targs.pipeline_parallel)
         self.mesh = None
         if n > 1 or need > 1:
             from llavamod_tpu.parallel.mesh import MeshConfig, make_mesh
 
             fsdp = n // need
             assert fsdp * need == n, (
-                f"{n} devices not divisible by data*expert*tensor={need}")
+                f"{n} devices not divisible by "
+                f"data*expert*tensor*pipe={need}")
             self.mesh = make_mesh(MeshConfig(
                 data=targs.data_parallel, fsdp=fsdp,
-                expert=targs.expert_parallel, tensor=targs.tensor_parallel))
+                expert=targs.expert_parallel, tensor=targs.tensor_parallel,
+                pipe=targs.pipeline_parallel))
             rank0_print(f"[mesh] {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
 
     def __enter__(self):
@@ -535,6 +537,16 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         rank0_print("[mesh] sequence parallelism on: residual stream "
                     f"T-sharded over tensor={targs.tensor_parallel}")
 
+    if targs.pipeline_parallel > 1:
+        mb = targs.pipeline_microbatches
+        cfg = cfg.replace(llm=cfg.llm.replace(pipeline_microbatches=mb))
+        if teacher_cfg is not None:
+            teacher_cfg = teacher_cfg.replace(
+                llm=teacher_cfg.llm.replace(pipeline_microbatches=mb))
+        rank0_print(f"[mesh] pipeline parallelism on: "
+                    f"pipe={targs.pipeline_parallel}, "
+                    f"microbatches={mb or targs.pipeline_parallel}")
+
     # Frozen-head recipes with --policy_head_quant: pre-quantize the student
     # head OUTSIDE the step — identical numerics (the head never updates),
     # and it removes the per-step [V, D] quantize pass + its 0.31 GB int8
@@ -620,6 +632,10 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
                                  "backward; gradient accumulation would "
                                  "need a separate grad buffer (the thing "
                                  "it exists to avoid)")
+            if targs.pipeline_parallel > 1:
+                raise ValueError("--fused_update drives its own reverse "
+                                 "layer scan and cannot run under "
+                                 "--pipeline_parallel; drop one of the two")
             from llavamod_tpu.train.fused_steps import (
                 init_fused_state,
                 make_fused_align_step,
