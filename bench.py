@@ -280,6 +280,7 @@ def bench_distill(cfg_name: str = "default"):
                        kd_vocab_limit=151936, vocab_chunk=chunk,
                        attn_impl=attn, optimizer=opt_name,
                        train_modules=train_modules,
+                       fused_remat=env("BENCH_FUSED_REMAT", "repeat"),
                        total_steps=10_000, max_grad_norm=1.0)
 
     prestack = os.environ.get("BENCH_PRESTACK", "1") == "1" and scan

@@ -55,6 +55,16 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    # Residual policy for the fused backward+update step (fused_steps.py):
+    #   repeat    — save each repeat's INPUT only; the backward vjp re-runs
+    #               the repeat forward (per-repeat remat; minimum memory)
+    #   save_dots — carry each repeat's vjp residuals filtered to matmul
+    #               outputs (dots_with_no_batch_dims_saveable); the backward
+    #               skips the matmul recompute.  Combine with
+    #               DecoderConfig.remat_policy='moe' to keep the expert
+    #               intermediates (the dominant activation cost) rematted.
+    #   save_all  — carry full vjp residuals (no recompute at all)
+    fused_remat: str = "repeat"              # repeat | save_dots | save_all
     vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     attn_impl: str = "auto"                    # auto | flash | xla
     # Run the frozen vision tower once per step and feed both teacher and

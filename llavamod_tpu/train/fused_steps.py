@@ -194,13 +194,32 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
 
         x0, head_vjp = jax.vjp(head_fn, params["projector"])
 
-        # --- forward scan over repeats, saving each repeat's input ---
-        def fwd_body(x, rep_params):
-            x_out, aux = rep_forward(rep_params, x, positions,
-                                     batch.segment_ids)
-            return x_out, (x, aux)
+        # --- forward scan over repeats ---
+        # fused_remat == 'repeat': save each repeat's INPUT; the backward
+        # re-runs the repeat forward (per-repeat remat, minimum memory).
+        # fused_remat == 'save_dots'/'save_all': carry each repeat's vjp
+        # RESIDUALS out of the scan (jax.vjp's function is a pytree, so
+        # lax.scan stacks its residual leaves on the reps axis) — the
+        # backward then skips the forward recompute, trading ~1 student
+        # forward of FLOPs for the residual memory Adafactor freed.
+        rep_fwd = lambda p, x: rep_forward(  # noqa: E731
+            p, x, positions, batch.segment_ids)
+        save_residuals = tcfg.fused_remat != "repeat"
+        if tcfg.fused_remat == "save_dots":
+            rep_fwd = jax.checkpoint(
+                rep_fwd,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
-        x_last, (x_ins, aux_per_rep) = jax.lax.scan(
+        if save_residuals:
+            def fwd_body(x, rep_params):
+                (x_out, aux), vjp_fn = jax.vjp(rep_fwd, rep_params, x)
+                return x_out, (vjp_fn, aux)
+        else:
+            def fwd_body(x, rep_params):
+                x_out, aux = rep_fwd(rep_params, x)
+                return x_out, (x, aux)
+
+        x_last, (saved, aux_per_rep) = jax.lax.scan(
             fwd_body, x0, tuple(pstack),
             unroll=max(1, cfg.llm.scan_unroll))
         aux_total = jnp.sum(aux_per_rep)
@@ -245,18 +264,22 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
 
         def bwd_body(carry, inp):
             g, ps, os_, gn = carry
-            x_in, i = inp
+            saved_i, i = inp
             rep_p = jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, False), ps)
             rep_o = jax.tree_util.tree_map(
                 lambda a: (a if _is_empty(a)
                            else jax.lax.dynamic_index_in_dim(a, i, 0, False)),
                 os_, is_leaf=_is_empty)
-            # per-repeat remat: the vjp re-runs this repeat's forward from
-            # the saved input with the PRE-update params
-            _, vjp_px = jax.vjp(
-                lambda p, x: rep_forward(p, x, positions, batch.segment_ids),
-                rep_p, x_in)
+            if save_residuals:
+                # saved_i IS this repeat's vjp closure (residuals sliced off
+                # the stacked leaves by the scan), taken at the PRE-update
+                # params — no forward recompute
+                vjp_px = saved_i
+            else:
+                # per-repeat remat: the vjp re-runs this repeat's forward
+                # from the saved input with the PRE-update params
+                _, vjp_px = jax.vjp(rep_fwd, rep_p, saved_i)
             dparams, dx = vjp_px((g, aux_cot))
             gn = gn + _masked_sq_norm(dparams, mask_stacked)
             new_p, new_o = adafactor.update_tree(
@@ -274,7 +297,7 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
         (g0, new_pstack, new_ostack, gnorm_sq), _ = jax.lax.scan(
             bwd_body, (g_last, tuple(pstack), tuple(ostack),
                        jnp.zeros((), jnp.float32)),
-            (x_ins, jnp.arange(reps)), reverse=True,
+            (saved, jnp.arange(reps)), reverse=True,
             unroll=max(1, cfg.llm.scan_unroll))
 
         # --- projector grads + update ---

@@ -32,6 +32,18 @@ assert jax.device_count() == 8, jax.devices()
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is dominated by XLA compile time
+# (~240 jitting tests x 1-9 s on this 1-CPU box); warm runs reuse the
+# compiled executables.  Opt out with LLAVAMOD_TEST_NO_COMPILE_CACHE=1.
+if not os.environ.get("LLAVAMOD_TEST_NO_COMPILE_CACHE"):
+    _cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_compile_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

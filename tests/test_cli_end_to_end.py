@@ -19,6 +19,8 @@ from llavamod_tpu.models.llm.config import tiny_config
 from llavamod_tpu.models.vision.vit import tiny_vision_config
 from util_tokenizer import make_tiny_tokenizer
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -12,6 +12,8 @@ import pytest
 
 from llavamod_tpu.ops.decode_attention import flash_decode
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 def _oracle(q, k, v, seg, scale, softcap=None, ks=None, vs=None):
     b, h, d = q.shape

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from llavamod_tpu.models.llm import decoder
 from llavamod_tpu.models.llm.config import tiny_config
@@ -180,6 +181,7 @@ def test_logn_attn_scales_only_positions_past_train_context():
     assert np.abs(base[:, l0 + 1:] - got[:, l0 + 1:]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_moe_remat_policy_is_value_and_grad_identical():
     """remat_policy='moe' (checkpoint only the sparse-FFN block) must not
     change values or gradients — it is purely a memory/recompute trade."""
@@ -204,6 +206,7 @@ def test_moe_remat_policy_is_value_and_grad_identical():
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
 
 
+@pytest.mark.slow
 def test_scan_layers_decode_matches_inline():
     """Opt-in cached-path layer scan (scan_layers_decode=True) is
     numerically identical to the inline decode loop, MoE + int8 cache
@@ -244,6 +247,7 @@ def test_scan_layers_decode_matches_inline():
                                       np.asarray(c1.segment))
 
 
+@pytest.mark.slow
 def test_int8_expert_serving_quantization():
     """quantize_decoder_int8(include_experts=True): W8A8 sparse student —
     forward stays close to float, and cached decode runs on the int8 tree."""
@@ -286,6 +290,7 @@ def test_int8_expert_serving_quantization():
     assert np.isfinite(np.asarray(step.hidden, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_stack_layers_roundtrip_and_forward_equivalence():
     """Pre-stacked layer trees: same outputs, gradients flow, and
     unstack restores the exact per-layer list."""

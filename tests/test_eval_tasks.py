@@ -208,6 +208,7 @@ def test_cli_merge_convert_score(tmp_path):
 # multi-token stop sequences in generation
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_generation_multi_token_stop():
     import jax
 
@@ -262,6 +263,7 @@ def test_truncate_at_stops_semantics():
 # VQARunner end-to-end (tiny MoE model) + router-prob dump
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_vqa_runner_end_to_end_with_gating_dump(tmp_path):
     import jax
 

@@ -33,6 +33,8 @@ from llavamod_tpu.train.fused_steps import (
 from llavamod_tpu.train.optim import TrainState
 from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 jax.config.update("jax_enable_x64", False)
 
 
@@ -106,9 +108,13 @@ def _tiny_setup(reps):
     return cfg, params, tcfg, teacher, batch
 
 
-@pytest.mark.parametrize("reps", [1, 2])
-def test_fused_step_matches_standard(reps):
+@pytest.mark.parametrize("reps,fused_remat", [
+    (1, "repeat"), (2, "repeat"),
+    (2, "save_dots"), (2, "save_all"),
+])
+def test_fused_step_matches_standard(reps, fused_remat):
     cfg, params, tcfg, teacher, batch = _tiny_setup(reps)
+    tcfg = tcfg.replace(fused_remat=fused_remat)
     teacher_cfg = cfg.replace(llm=cfg.llm.replace(
         moe_num_experts=0, moe_layers=()))
 

@@ -13,6 +13,8 @@ from llavamod_tpu.models.llm.config import tiny_config
 from llavamod_tpu.models.vision.vit import tiny_vision_config
 from llavamod_tpu.train.steps import batch_from_arrays
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 def test_greedy_is_argmax():
     logits = jnp.asarray([[0.0, 5.0, 1.0], [2.0, 0.0, -1.0]])

@@ -20,6 +20,8 @@ from llavamod_tpu.models.llm.config import tiny_config
 from llavamod_tpu.models.llm.upcycle import upcycle
 from llavamod_tpu.models.vision.vit import tiny_vision_config
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 def _tiny(moe: bool):
     llm = tiny_config(num_heads=4, num_kv_heads=2, qkv_bias=True,

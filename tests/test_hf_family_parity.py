@@ -31,6 +31,8 @@ import functools
 
 from golden.hf_family_refs import TinyMiniCPM, TinyQwenV1
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 @functools.partial(jax.jit, static_argnums=1)
 def _jit_logits(params, cfg, ids):

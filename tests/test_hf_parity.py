@@ -27,6 +27,8 @@ from llavamod_tpu.models.vision.vit import VisionConfig
 
 import functools
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 @functools.partial(jax.jit, static_argnums=1)
 def _jit_logits(params, cfg, ids):

@@ -14,6 +14,8 @@ from llavamod_tpu.models.llm import decoder
 from llavamod_tpu.models.vision.vit import tiny_vision_config, vision_configs
 from llavamod_tpu.tools import import_hf
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _tiny_tower():

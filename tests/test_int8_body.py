@@ -17,6 +17,8 @@ import pytest
 
 from llavamod_tpu.models.llm import decoder
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 def _rel_err(a, b):
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)

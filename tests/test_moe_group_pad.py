@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from llavamod_tpu.models.llm import decoder
 from llavamod_tpu.models.llm.config import tiny_config
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 def _moe_cfg(**kw):
     base = dict(moe_num_experts=4, moe_top_k=2, moe_layers=(0, 1),

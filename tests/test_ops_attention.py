@@ -9,6 +9,8 @@ import pytest
 from llavamod_tpu.ops.attention import make_causal_mask, xla_attention
 from llavamod_tpu.ops.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 def _qkv(b=2, t=256, h=4, kh=2, d=128, dtype=jnp.float32, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from llavamod_tpu.ops.losses import (
+
     chunked_kd_cross_entropy,
     chunked_lse_and_gather,
     dpo_loss,
@@ -18,6 +19,8 @@ from llavamod_tpu.ops.losses import (
     sequence_log_prob,
     softmax_cross_entropy,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
 
 KEY = jax.random.PRNGKey(0)
 

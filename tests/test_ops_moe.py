@@ -7,6 +7,8 @@ import numpy as np
 
 from llavamod_tpu.ops.moe import GatingConfig, moe_ffn, top_k_gating
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 def test_capacity_formula():
     cfg = GatingConfig(num_experts=4, top_k=2, capacity_factor=1.5,

@@ -32,6 +32,8 @@ from llavamod_tpu.train.config import TrainConfig
 from llavamod_tpu.train.optim import TrainState
 from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 def _tiny_llava(moe=True, seed=0):
     llm = tiny_config(num_layers=2, hidden_size=64, intermediate_size=128,

@@ -12,6 +12,8 @@ from llavamod_tpu.models.vision import vit
 from llavamod_tpu.models.vision.s2 import multiscale_forward
 from llavamod_tpu.models.vision.vit import tiny_vision_config
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 # ---------------------------------------------------------------------------
 # S2
@@ -80,6 +82,7 @@ def test_projector_shapes(spec, expected_tokens, n_tokens):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_projector_grads_flow():
     proj = build_projector("qformer2_8", 32, 48)
     params = proj.init(jax.random.PRNGKey(0))
@@ -172,6 +175,7 @@ def test_mm_projector_bin_tree_layout_requires_template(tmp_path):
         load_mm_projector(path, "pool_mlp2x_gelu")
 
 
+@pytest.mark.slow
 def test_qformer_matches_transformers_blip2_oracle():
     """Our qformer projector == the reference's Blip2Model compute
     (multimodal_projector/qformer.py:9-60: proj_in -> Blip2QFormerModel

@@ -28,6 +28,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 REFERENCE = "/root/reference"
 
 

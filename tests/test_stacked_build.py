@@ -16,6 +16,9 @@ import numpy as np
 
 from llavamod_tpu.models.llm import decoder
 from llavamod_tpu.models.llm.config import tiny_config
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
 
 
 def _fill_built(cfg, key, dtype):

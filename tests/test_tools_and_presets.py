@@ -14,6 +14,8 @@ from llavamod_tpu.models.llm.config import llm_configs, tiny_config
 from llavamod_tpu.models.vision.vit import tiny_vision_config
 from llavamod_tpu.tools.delta import apply_delta, make_delta
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 # ---------------------------------------------------------------------------
 # delta

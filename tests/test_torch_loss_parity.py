@@ -19,6 +19,8 @@ from llavamod_tpu.ops.losses import (
     sequence_log_prob,
 )
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 def _rand(shape, seed, scale=1.0):
     return np.random.default_rng(seed).normal(size=shape).astype(np.float32) * scale

@@ -23,6 +23,8 @@ from llavamod_tpu.models.vision.vit import tiny_vision_config
 from llavamod_tpu.train.args import AlignArgs, DataArgs, DPOArgs, ModelArgs, TrainArgs
 from llavamod_tpu.train.run import run_stage
 
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
 
 class StubTok:
     bos_token_id = None

@@ -16,6 +16,8 @@ import torch
 from llavamod_tpu.models.video import (VideoProjectorConfig,
                                        build_video_projector)
 
+pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
+
 
 def _torch_mlp(p, x):
     """Reference MLP (builder.py:113-124): Linear-GELU(exact)-Linear."""
