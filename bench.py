@@ -173,6 +173,12 @@ def bench_distill(cfg_name: str = "default"):
             defaults["BENCH_FUSED"] = "1"
             defaults["BENCH_REMAT"] = "0"
             defaults["BENCH_REMAT_POLICY"] = "none"
+            # ... and (e) the recipe's gradient_accumulation_steps 8
+            # (dense2sparse_distillation.sh:72), folded into the batch
+            # axis with a per-microbatch sequential backward
+            # (fused_steps.py) — the COMPLETE record recipe on one chip:
+            # 4 572 tok/s vs 4 904 without accumulation (BENCH_ACCUM=1)
+            defaults["BENCH_ACCUM"] = "8"
     else:
         defaults = {}
     env = lambda k, d: os.environ.get(k, defaults.get(k, d))
@@ -281,7 +287,20 @@ def bench_distill(cfg_name: str = "default"):
                        attn_impl=attn, optimizer=opt_name,
                        train_modules=train_modules,
                        fused_remat=env("BENCH_FUSED_REMAT", "repeat"),
+                       grad_accum_steps=int(env("BENCH_ACCUM", "1")),
                        total_steps=10_000, max_grad_norm=1.0)
+    accum = tcfg.grad_accum_steps
+    if accum > 1:
+        # recipe of record: per_device_train_batch_size 1 x
+        # gradient_accumulation_steps 8 (dense2sparse_distillation.sh:70-72).
+        # The fused step folds the microbatches into the batch axis with
+        # per-microbatch loss normalization (train/fused_steps.py), so the
+        # bench builds the folded [accum*B, T] batch directly.
+        assert env("BENCH_FUSED", "0") == "1", (
+            "BENCH_ACCUM>1 is the fused step's in-batch accumulation; "
+            "set BENCH_FUSED=1 (the unfused path would need MultiSteps)")
+        log(f"in-batch gradient accumulation: {accum} microbatches of "
+            f"B={b} folded per optimizer step")
 
     prestack = os.environ.get("BENCH_PRESTACK", "1") == "1" and scan
     # int8 embedding tables (frozen in every recipe here): halves the
@@ -461,7 +480,13 @@ def bench_distill(cfg_name: str = "default"):
         state = TrainState.create(student_params, tcfg)
         step = make_align_step(student_llava, teacher_llava, tcfg)
 
-    # synthetic batch: 1 image (576 slots) + text, full 1024-token sequences
+    # synthetic batch: 1 image (576 slots) + text, full 1024-token sequences.
+    # With in-batch accumulation the folded batch IS accum identical-shape
+    # microbatches stacked on axis 0 (every row's image_pos = row * n_img —
+    # exactly what train/loader.py::fold_microbatches would produce), so
+    # build it at the folded size; all downstream token/FLOP accounting
+    # uses the folded total.
+    b = b * accum
     n_img = student_llava.num_image_tokens
     ids = np.random.randint(10, 1000, size=(b, t)).astype(np.int32)
     image_mask = np.zeros((b, t), bool)
@@ -592,6 +617,7 @@ def bench_distill(cfg_name: str = "default"):
                 + (", router-only train set" if train_set == "router"
                    else ", record train set (all FFN + router)")
                 + (", adafactor" if opt_name == "adafactor" else "")
+                + (f", accum={accum} in-batch" if accum > 1 else "")
                 + ")",
         "vs_baseline": round(mfu / 0.40, 3),
         "mfu_bf16_peak": round(mfu, 3),

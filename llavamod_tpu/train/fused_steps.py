@@ -72,9 +72,10 @@ def _check_supported(student_cfg: LlavaConfig, tcfg: TrainConfig, mask):
     assert tcfg.optimizer == "adafactor", (
         "the fused backward applies per-repeat Adafactor updates; "
         "set optimizer='adafactor'")
-    assert tcfg.grad_accum_steps <= 1, (
-        "fused updates happen inside the backward — gradient accumulation "
-        "would reintroduce the full-gradient buffer")
+    # grad_accum_steps > 1 is supported by FOLDING the microbatches into
+    # the batch axis of one program (see make_fused_align_step): the vjp
+    # then sums the per-microbatch gradients on the fly and the full
+    # gradient buffer still never exists.
     assert student_cfg.llm.scan_layers, "fused step requires scan_layers"
     assert _DTYPES[tcfg.compute_dtype] is not None
     # every trainable leaf must live in the layer stack or the projector:
@@ -126,7 +127,18 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
     """step(state, teacher_params, batch) -> (state, metrics).
 
     Same contract as make_align_step; state must come from
-    init_fused_state."""
+    init_fused_state.
+
+    Gradient accumulation (tcfg.grad_accum_steps = M > 1) is IN-BATCH:
+    the caller concatenates the M microbatches along the batch axis
+    (train/loader.py::fold_microbatches) and ONE program computes the
+    M-microbatch update.  The vjp sums per-microbatch gradients on the
+    fly — the whole-tree gradient buffer that per-call accumulation
+    (optax.MultiSteps) would need still never materializes.  Semantics
+    match MultiSteps' default mean-of-gradients exactly: the tail loss is
+    normalized PER MICROBATCH (each microbatch's token count, like the M
+    separate calls would), then averaged — pinned against the MultiSteps
+    path in tests/test_fused_align.py."""
     cfg = student_cfg
     vocab_limit = tcfg.kd_vocab_limit or min(student_cfg.llm.vocab_size,
                                              teacher_cfg.llm.vocab_size)
@@ -229,21 +241,45 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
         if tcfg.student_head_quant and not isinstance(w_s, dict):
             w_s = jax.lax.stop_gradient(decoder.quantize_head_int8(w_s))
 
-        def tail_fn(xh):
-            hidden = decoder._norm(cfg.llm, llm_p["final_norm"], xh)
+        accum = max(1, tcfg.grad_accum_steps)
+        assert b % accum == 0, (
+            f"fused accumulation folds microbatches into the batch axis: "
+            f"batch rows ({b}) must be grad_accum_steps ({accum}) x the "
+            f"per-microbatch size (train/loader.py::fold_microbatches)")
+
+        def _one_microbatch_loss(hidden_m, labels_m, h_t_m):
+            """Loss for one microbatch, normalized by ITS token count —
+            the same numbers the M separate MultiSteps calls would see."""
             if tcfg.align_loss_type == "kd_lm":
                 fused = kd_ce_align_loss(
-                    hidden, w_s, h_t, w_t, batch.labels,
+                    hidden_m, w_s, h_t_m, w_t, labels_m,
                     vocab_limit=vocab_limit,
                     distill_all_tokens=tcfg.distill_all_tokens,
                     chunk=tcfg.vocab_chunk)
-                return fused.kd_loss + fused.ce_loss, (
-                    fused.kd_loss, fused.ce_loss, fused.kd_tokens)
-            kd = kd_align_loss(hidden, w_s, h_t, w_t, batch.labels,
+                return fused.kd_loss, fused.ce_loss, fused.kd_tokens
+            kd = kd_align_loss(hidden_m, w_s, h_t_m, w_t, labels_m,
                                vocab_limit=vocab_limit,
                                distill_all_tokens=tcfg.distill_all_tokens,
                                chunk=tcfg.vocab_chunk)
-            return kd.loss, (kd.loss, jnp.zeros(()), kd.num_tokens)
+            return kd.loss, jnp.zeros(()), kd.num_tokens
+
+        def tail_fn(xh):
+            hidden = decoder._norm(cfg.llm, llm_p["final_norm"], xh)
+            if accum == 1:
+                kd_l, ce_l, ntok = _one_microbatch_loss(
+                    hidden, batch.labels, h_t)
+                return kd_l + ce_l, (kd_l, ce_l, ntok)
+            # per-microbatch losses (lax.map = sequential scan, so the
+            # chunked custom-VJP losses stream one microbatch at a time),
+            # then MultiSteps' mean-of-gradients == mean of the losses
+            mb = hidden.shape[0] // accum
+            kd_l, ce_l, ntok = jax.lax.map(
+                lambda a: _one_microbatch_loss(*a),
+                (hidden.reshape(accum, mb, *hidden.shape[1:]),
+                 batch.labels.reshape(accum, mb, batch.labels.shape[-1]),
+                 h_t.reshape(accum, mb, *h_t.shape[1:])))
+            return jnp.mean(kd_l) + jnp.mean(ce_l), (
+                jnp.mean(kd_l), jnp.mean(ce_l), jnp.sum(ntok))
 
         loss_main, tail_vjp, aux_metrics = jax.vjp(tail_fn, x_last,
                                                    has_aux=True)
@@ -262,6 +298,45 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                     tot = tot + jnp.sum(g_.astype(jnp.float32) ** 2)
             return tot
 
+        def _f0_to_zero(tree):
+            return jax.tree_util.tree_map(
+                lambda d: (jnp.zeros((), jnp.float32)
+                           if d.dtype == jax.dtypes.float0 else d), tree)
+
+        def _rep_vjp_microbatched(rep_p, saved_i, g):
+            """Per-repeat vjp one MICROBATCH at a time, summing dparams.
+
+            The folded-batch vjp holds the whole repeat's residuals at the
+            folded size; at record shapes with accum=8 that transient is
+            what OOMs.  Running the accum microbatches sequentially keeps
+            the residual transient at microbatch size while the summed
+            dparams carry is one repeat's gradient slice.  The folded aux
+            is the MEAN over microbatches (per-group normalization in
+            ops/moe.py), so each microbatch's aux cotangent is coef/accum."""
+            mb = saved_i.shape[0] // accum
+            split = lambda a: a.reshape(  # noqa: E731
+                accum, mb, *a.shape[1:])
+            xm, gm = split(saved_i), split(g)
+            pm, sm = split(positions), split(batch.segment_ids)
+            mb_cot = aux_cot / accum
+
+            def one(x_m, g_m, p_m, s_m):
+                _, vjp = jax.vjp(
+                    lambda p, x: rep_forward(p, x, p_m, s_m), rep_p, x_m)
+                dp, dx_m = vjp((g_m, mb_cot))
+                return _f0_to_zero(dp), dx_m
+
+            dp0, dx0 = one(xm[0], gm[0], pm[0], sm[0])
+
+            def mb_body(acc, xs_):
+                dp, dx_m = one(*xs_)
+                return jax.tree_util.tree_map(jnp.add, acc, dp), dx_m
+
+            dp_sum, dx_rest = jax.lax.scan(
+                mb_body, dp0, (xm[1:], gm[1:], pm[1:], sm[1:]))
+            dx = jnp.concatenate([dx0[None], dx_rest], 0).reshape(g.shape)
+            return dp_sum, dx
+
         def bwd_body(carry, inp):
             g, ps, os_, gn = carry
             saved_i, i = inp
@@ -275,12 +350,14 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                 # saved_i IS this repeat's vjp closure (residuals sliced off
                 # the stacked leaves by the scan), taken at the PRE-update
                 # params — no forward recompute
-                vjp_px = saved_i
+                dparams, dx = saved_i((g, aux_cot))
+            elif accum > 1:
+                dparams, dx = _rep_vjp_microbatched(rep_p, saved_i, g)
             else:
                 # per-repeat remat: the vjp re-runs this repeat's forward
                 # from the saved input with the PRE-update params
                 _, vjp_px = jax.vjp(rep_fwd, rep_p, saved_i)
-            dparams, dx = vjp_px((g, aux_cot))
+                dparams, dx = vjp_px((g, aux_cot))
             gn = gn + _masked_sq_norm(dparams, mask_stacked)
             new_p, new_o = adafactor.update_tree(
                 rep_p, dparams, rep_o, mask_stacked, count, lr, **af_kw)

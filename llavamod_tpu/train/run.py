@@ -628,10 +628,15 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             if lora_cfg is not None:
                 raise ValueError("--fused_update does not support LoRA")
             if tcfg.grad_accum_steps > 1:
-                raise ValueError("--fused_update updates inside the "
-                                 "backward; gradient accumulation would "
-                                 "need a separate grad buffer (the thing "
-                                 "it exists to avoid)")
+                # in-batch accumulation: the loader folds the microbatches
+                # into the batch axis and ONE program applies the
+                # mean-of-microbatch-gradients update (fused_steps.py) —
+                # NOTE a fused "step" is therefore one OPTIMIZER step
+                # (total_steps counts updates, not microbatches, unlike
+                # the MultiSteps path)
+                rank0_print(f"[fused] in-batch gradient accumulation: "
+                            f"{tcfg.grad_accum_steps} microbatches folded "
+                            f"per update")
             if targs.pipeline_parallel > 1:
                 raise ValueError("--fused_update drives its own reverse "
                                  "layer scan and cannot run under "
@@ -683,9 +688,19 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             prev_handler = None
 
         from llavamod_tpu.runtime.prefetch import DevicePrefetcher
-        from llavamod_tpu.train.loader import infinite_batches
+        from llavamod_tpu.train.loader import fold_microbatches, infinite_batches
 
-        batches = DevicePrefetcher(infinite_batches(loader), mesh=dev.mesh)
+        host_batches = infinite_batches(loader)
+        if fused and tcfg.grad_accum_steps > 1:
+            # image_pos re-offsetting needs the collator's media-table
+            # stride (data/collator.py::_stack_spliced)
+            rows = cfg.max_images * cfg.num_image_tokens + (
+                cfg.num_video_tokens
+                if cfg.video_projector_type is not None else 0)
+            host_batches = fold_microbatches(host_batches,
+                                             tcfg.grad_accum_steps,
+                                             rows_per_sample=rows)
+        batches = DevicePrefetcher(host_batches, mesh=dev.mesh)
         profiler_on = False
         for batch in batches:
             if step_no >= total_steps or stop_requested:

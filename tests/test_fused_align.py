@@ -91,21 +91,26 @@ def _tiny_setup(reps):
                       kd_vocab_limit=512, max_grad_norm=0.0)
     teacher = llava.init(cfg.replace(llm=llm), jax.random.PRNGKey(1),
                          dtype=jnp.bfloat16)
-    b, t, n_img = 2, 16, 4
-    rng = np.random.RandomState(3)
+    batch = batch_from_arrays(_batch_dict(3))
+    return cfg, params, tcfg, teacher, batch
+
+
+def _batch_dict(seed, b=2, t=16, n_img=4):
+    """Collator-style numpy batch dict (the tiny vision tower emits
+    n_img=4 tokens per image: 28/14 = 2x2 patches)."""
+    rng = np.random.RandomState(seed)
     ids = rng.randint(5, 500, size=(b, t)).astype(np.int32)
     im = np.zeros((b, t), bool)
     im[:, 1:1 + n_img] = True
     ip = np.zeros((b, t), np.int32)
     for i in range(b):
         ip[i, 1:1 + n_img] = i * n_img + np.arange(n_img)
-    batch = batch_from_arrays({
+    return {
         "input_ids": ids, "segment_ids": np.ones((b, t), np.int32),
         "image_mask": im, "image_pos": ip,
         "pixels": rng.randn(b, 1, 3, 28, 28).astype(np.float32),
         "pixel_valid": np.ones((b, 1), bool),
-        "labels": np.where(im, -100, ids)})
-    return cfg, params, tcfg, teacher, batch
+        "labels": np.where(im, -100, ids)}
 
 
 @pytest.mark.parametrize("reps,fused_remat", [
@@ -152,6 +157,60 @@ def test_fused_step_matches_standard(reps, fused_remat):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(leaf, np.float32),
             err_msg=jax.tree_util.keystr(path), **tol)
+
+
+@pytest.mark.parametrize("reps,fused_remat", [
+    (1, "repeat"),   # microbatched per-repeat backward (the memory path)
+    (2, "repeat"),
+    (2, "save_all"),  # folded vjp-residual backward
+])
+def test_fused_accum_matches_multisteps(reps, fused_remat):
+    """In-batch accumulation (grad_accum_steps=2, microbatches folded on
+    the batch axis) == the standard path's optax.MultiSteps fed the same
+    two microbatches as separate calls: identical params after the update
+    and fused loss == mean of the per-microbatch losses."""
+    from llavamod_tpu.train.loader import fold_microbatches
+
+    cfg, params, tcfg, teacher, _ = _tiny_setup(reps)
+    tcfg = tcfg.replace(grad_accum_steps=2, fused_remat=fused_remat)
+    teacher_cfg = cfg.replace(llm=cfg.llm.replace(
+        moe_num_experts=0, moe_layers=()))
+    d1, d2 = _batch_dict(3), _batch_dict(11)
+
+    # standard path: MultiSteps accumulates the mean grad over 2 calls
+    std_state = TrainState.create(params, tcfg)
+    std_step = make_align_step(cfg, teacher_cfg, tcfg)
+    std_state, m1 = std_step(std_state, teacher, batch_from_arrays(d1))
+    std_state, m2 = std_step(std_state, teacher, batch_from_arrays(d2))
+
+    # fused path: ONE call on the folded batch (image_pos re-offset by
+    # the loader fold; rows_per_sample = max_images * num_image_tokens)
+    (folded,) = list(fold_microbatches(iter([d1, d2]), 2,
+                                       rows_per_sample=4))
+    np.testing.assert_array_equal(
+        folded["image_pos"][2:], d2["image_pos"] + 2 * 4)
+    cfg2, params2, *_ = _tiny_setup(reps)
+    params2 = dict(params2)
+    params2["llm"] = decoder.stack_layers(cfg.llm, params2["llm"])
+    f_state = init_fused_state(params2, cfg, tcfg)
+    f_step = make_fused_align_step(cfg, teacher_cfg, tcfg)
+    f_state, f_m = f_step(f_state, teacher, batch_from_arrays(folded))
+
+    # rtol: bf16 forward at a different batch shape reorders reductions
+    np.testing.assert_allclose(
+        float(f_m["loss"]),
+        (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-4)
+    assert float(f_m["num_tokens"]) == (float(m1["num_tokens"])
+                                        + float(m2["num_tokens"]))
+
+    f_params = dict(f_state.params)
+    f_params["llm"] = decoder.unstack_layers(cfg.llm, f_state.params["llm"])
+    flat_fused = dict(jax.tree_util.tree_leaves_with_path(f_params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(std_state.params):
+        np.testing.assert_allclose(
+            np.asarray(flat_fused[path], np.float32),
+            np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path), rtol=2e-2, atol=2e-2)
 
 
 def test_fused_step_loss_decreases():

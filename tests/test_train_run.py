@@ -237,14 +237,32 @@ def test_align_fused_adafactor(stage_dirs, tmp_path):
     assert np.abs(e_after - e_before[None]).max() > 0  # experts trained
 
 
-def test_fused_update_rejects_grad_accum():
-    from llavamod_tpu.train.config import TrainConfig
-    from llavamod_tpu.train.fused_steps import _check_supported
-
-    with pytest.raises(AssertionError, match="accumulation"):
-        _check_supported(
-            None, TrainConfig(optimizer="adafactor", grad_accum_steps=2),
-            {})
+def test_align_fused_with_grad_accum(stage_dirs, tmp_path):
+    """--fused_update + gradient_accumulation_steps=2: run.py folds the
+    microbatches into the batch axis (train/loader.py::fold_microbatches)
+    and one fused call = one optimizer step over both (the recipe of
+    record runs accumulation 8, dense2sparse_distillation.sh:72)."""
+    _, model_dir, data, imgs = stage_dirs
+    out = str(tmp_path / "out_fused_accum")
+    metrics = run_stage(
+        "align",
+        ModelArgs(model_name_or_path=model_dir, version="qwen",
+                  moe_enable=True, moe_mode="sparse", num_experts=2,
+                  top_k_experts=1,
+                  train_modules=["mlp.gate_proj", "mlp.up_proj",
+                                 "mlp.down_proj", "wg"]),
+        DataArgs(data_path=[data], image_folder=imgs),
+        _targs(out, model_max_length=256, optimizer="adafactor",
+               fused_update=True, learning_rate=1e-2,
+               gradient_accumulation_steps=2),
+        salign=AlignArgs(policy_model_type="sparse",
+                         ref_model_name_or_path=model_dir,
+                         loss_type="kd_lm", moe_loss_enable=True),
+        tokenizer=StubTok())
+    assert np.isfinite(metrics["loss"])
+    from llavamod_tpu.models.builder import load_model as _lm
+    cfg2, _ = _lm(out)
+    assert cfg2.llm.is_moe
 
 
 def test_pretrain_stage_full_sft_when_flag_off(stage_dirs, tmp_path):
