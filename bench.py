@@ -287,6 +287,8 @@ def bench_distill(cfg_name: str = "default"):
                        attn_impl=attn, optimizer=opt_name,
                        train_modules=train_modules,
                        fused_remat=env("BENCH_FUSED_REMAT", "repeat"),
+                       fused_teacher_chunks=int(
+                           env("BENCH_TEACHER_CHUNKS", "-1")),
                        grad_accum_steps=int(env("BENCH_ACCUM", "1")),
                        total_steps=10_000, max_grad_norm=1.0)
     accum = tcfg.grad_accum_steps

@@ -141,7 +141,17 @@ def pipeline_layers(cfg, stacked, x, positions, segment_ids, train,
                     aux_sum = aux_sum + aux
                 return s, aux_sum
 
-            blk = jax.checkpoint(block) if remat else block
+            if remat:
+                # same remat_policy -> checkpoint-policy mapping as the
+                # non-PP scan (decoder._scan_layers); 'moe' is handled
+                # inside layer_forward (_moe_block_rematted) either way
+                policy = None
+                if cfg.remat_policy == "dots":
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable)
+                blk = jax.checkpoint(block, policy=policy)
+            else:
+                blk = block
             state2, aux_r = jax.lax.scan(
                 blk, state, tuple(stacked_local),
                 unroll=max(1, cfg.scan_unroll))

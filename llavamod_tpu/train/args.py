@@ -79,6 +79,13 @@ class DataArgs:
 class TrainArgs:
     output_dir: str = "./output"
     per_device_train_batch_size: int = 8
+    # Accumulation semantics: max_steps / epochs-derived step counts are in
+    # MICROBATCHES on both paths.  Without --fused_update, accumulation is
+    # optax.MultiSteps (one call per microbatch, update every accum calls);
+    # with --fused_update the loader folds accum microbatches into one
+    # call's batch axis and the loop budget is divided by accum — either
+    # way a given CLI config consumes the same data and applies the same
+    # number of optimizer updates (train/run.py::loop_total).
     gradient_accumulation_steps: int = 1
     num_train_epochs: float = 1.0
     max_steps: int = -1                 # -1 = derive from epochs
@@ -90,8 +97,11 @@ class TrainArgs:
     optimizer: str = "adamw"
     # align-only: apply the Adafactor update per layer-repeat INSIDE the
     # backward scan (train/fused_steps.py) so the full gradient tree is
-    # never resident.  Requires --optimizer adafactor, no LoRA, no grad
-    # accumulation, scan_layers + prestacked params.
+    # never resident.  Requires --optimizer adafactor, no LoRA,
+    # scan_layers + prestacked params.  With gradient_accumulation_steps
+    # > 1 the microbatches are folded in-batch (see that flag's note); for
+    # MoE models exact per-microbatch semantics additionally need
+    # moe_gating_group_size to divide the microbatch token count.
     fused_update: bool = False
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03

@@ -65,6 +65,14 @@ class TrainConfig:
     #               intermediates (the dominant activation cost) rematted.
     #   save_all  — carry full vjp residuals (no recompute at all)
     fused_remat: str = "repeat"              # repeat | save_dots | save_all
+    # Fused-step teacher forward in batch-row chunks (lax.map) instead of
+    # one folded-batch call.  The folded teacher forward's working set at
+    # accum=8 record shapes costs ~20% extra HBM traffic vs B=1 (profiled,
+    # BENCH_NOTES round-8); chunking over rows is exact for a dense teacher
+    # (per-sequence attention, per-token norms).  -1 = auto (one chunk per
+    # accumulation microbatch when accum > 1 and the teacher is dense);
+    # 0/1 = off; N = explicit chunk count (must divide the folded batch).
+    fused_teacher_chunks: int = -1
     vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     attn_impl: str = "auto"                    # auto | flash | xla
     # Run the frozen vision tower once per step and feed both teacher and

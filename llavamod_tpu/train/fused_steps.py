@@ -35,6 +35,7 @@ record train set and every align recipe shipped).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -151,13 +152,45 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             if (cfg.llm.is_moe and tcfg.moe_loss_enable) else 0.0)
     af_kw = dict(weight_decay_rate=tcfg.weight_decay or None)
 
-    def teacher_forward(teacher_params, batch, tower_feats):
+    def teacher_forward(teacher_params, batch, tower_feats, positions,
+                        n_chunks):
+        """Frozen teacher hidden states + head weight.
+
+        n_chunks > 1 runs the teacher DECODER in batch-row chunks
+        (lax.map) after one folded embed+splice: at accum=8 record shapes
+        the folded-batch teacher forward paid ~20% over 8x the B=1 time
+        (working-set pressure, profiled in BENCH_NOTES round-8).  Exact
+        for a dense teacher — attention is per-sequence and norms are
+        per-token, so batch rows never interact."""
         tp = _cast_tree(teacher_params, dtype)
         tb = batch._replace(pixels=batch.pixels.astype(dtype))
-        out = llava.forward(tp, teacher_cfg, tb, train=False,
-                            attn_impl=tcfg.attn_impl, tower_feats=tower_feats)
+        if n_chunks > 1:
+            emb = llava.multimodal_embed(tp, teacher_cfg, tb, tower_feats)
+            bb, tt = emb.shape[0], emb.shape[1]
+            ck = bb // n_chunks
+            seg = tb.segment_ids
+
+            def one(args):
+                e_c, p_c, s_c = args
+                out = decoder.forward(
+                    tp["llm"], teacher_cfg.llm, inputs_embeds=e_c,
+                    positions=p_c, segment_ids=s_c, train=False,
+                    attn_impl=tcfg.attn_impl)
+                return out.hidden
+
+            h = jax.lax.map(one, (
+                emb.reshape(n_chunks, ck, tt, emb.shape[-1]),
+                positions.reshape(n_chunks, ck, tt),
+                (seg.reshape(n_chunks, ck, tt) if seg is not None
+                 else jnp.ones((n_chunks, ck, tt), jnp.int32))))
+            hidden = h.reshape(bb, tt, h.shape[-1])
+        else:
+            out = llava.forward(tp, teacher_cfg, tb, train=False,
+                                attn_impl=tcfg.attn_impl,
+                                tower_feats=tower_feats)
+            hidden = out.hidden
         w = llava.lm_head_weight(tp, teacher_cfg)
-        return jax.lax.stop_gradient(out.hidden), jax.lax.stop_gradient(w)
+        return jax.lax.stop_gradient(hidden), jax.lax.stop_gradient(w)
 
     def rep_forward(rep_params, x, positions, segment_ids):
         """One structural period of layers; returns (x_out, aux_sum)."""
@@ -191,7 +224,18 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
         # --- frozen tower once; teacher forward (stop-grad) ---
         tower = (_shared_tower_feats(params, cfg, cbatch, tcfg)
                  if share_tower else None)
-        h_t, w_t = teacher_forward(teacher_params, cbatch, tower)
+        accum_ = max(1, tcfg.grad_accum_steps)
+        n_tc = tcfg.fused_teacher_chunks
+        if n_tc < 0:
+            # auto: 2-row chunks, only when accumulating.  Swept at record
+            # shapes (7b int8 teacher, 8x1 fold, T=2048, v5e): 2-row chunks
+            # 4733 tok/s > folded 4572 > 1-row 4533; 4-row chunks hit an
+            # XLA emitter cliff (519 tok/s) — see BENCH_NOTES round-8.
+            n_tc = b // 2 if (accum_ > 1 and b % 2 == 0 and b > 2) else 1
+        if teacher_cfg.llm.is_moe or b % max(1, n_tc) != 0:
+            n_tc = 1  # row chunking is only exact for a dense teacher
+        h_t, w_t = teacher_forward(teacher_params, cbatch, tower, positions,
+                                   n_tc)
 
         # --- head section: embeddings + projector + splice, vjp'd wrt the
         # projector (the only trainable params outside the layer stack) ---
@@ -246,6 +290,33 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             f"fused accumulation folds microbatches into the batch axis: "
             f"batch rows ({b}) must be grad_accum_steps ({accum}) x the "
             f"per-microbatch size (train/loader.py::fold_microbatches)")
+        # The microbatched backward (_rep_vjp_microbatched) re-runs each
+        # repeat's forward one microbatch at a time, so it is the vjp of the
+        # folded forward ONLY if the MoE routing decisions factor across
+        # microbatches.  Global gating (moe_gating_group_size == 0) pools
+        # capacity/drops/aux over the whole folded token set — recomputing
+        # per microbatch would differentiate a DIFFERENT function (silently
+        # wrong gradients).  Gating groups that tile the microbatch make the
+        # recompute exact (groups never straddle a microbatch boundary: the
+        # [b*t] flatten is row-major, so batch-axis splits land on group
+        # boundaries iff (b/accum)*t is a group multiple).  This same
+        # condition is what makes the in-batch fold match M separate
+        # MultiSteps calls' routing at all.
+        mb_gating_exact = True
+        if cfg.llm.is_moe and accum > 1:
+            group = cfg.llm.moe_gating_group_size
+            mb_gating_exact = group > 0 and ((b // accum) * t) % group == 0
+            if not mb_gating_exact:
+                warnings.warn(
+                    "fused accumulation with MoE + global gating "
+                    f"(moe_gating_group_size={group}, microbatch tokens "
+                    f"{(b // accum) * t}): routing pools capacity across the "
+                    "folded microbatches, so the backward uses the exact "
+                    "folded vjp (higher residual memory) and the update is "
+                    "NOT bit-equal to grad_accum_steps separate calls.  Set "
+                    "moe_gating_group_size to a divisor of the microbatch "
+                    "token count for exact accumulation semantics.",
+                    stacklevel=2)
 
         def _one_microbatch_loss(hidden_m, labels_m, h_t_m):
             """Loss for one microbatch, normalized by ITS token count —
@@ -351,7 +422,7 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                 # the stacked leaves by the scan), taken at the PRE-update
                 # params — no forward recompute
                 dparams, dx = saved_i((g, aux_cot))
-            elif accum > 1:
+            elif accum > 1 and mb_gating_exact:
                 dparams, dx = _rep_vjp_microbatched(rep_p, saved_i, g)
             else:
                 # per-repeat remat: the vjp re-runs this repeat's forward

@@ -630,13 +630,16 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             if tcfg.grad_accum_steps > 1:
                 # in-batch accumulation: the loader folds the microbatches
                 # into the batch axis and ONE program applies the
-                # mean-of-microbatch-gradients update (fused_steps.py) —
-                # NOTE a fused "step" is therefore one OPTIMIZER step
-                # (total_steps counts updates, not microbatches, unlike
-                # the MultiSteps path)
+                # mean-of-microbatch-gradients update (fused_steps.py).
+                # A fused "step" is one OPTIMIZER step consuming accum
+                # microbatches, so the loop budget below is divided by
+                # accum — the same CLI config then trains the same number
+                # of updates over the same data on either path.
                 rank0_print(f"[fused] in-batch gradient accumulation: "
                             f"{tcfg.grad_accum_steps} microbatches folded "
-                            f"per update")
+                            f"per update; running "
+                            f"{max(1, total_steps // tcfg.grad_accum_steps)}"
+                            f" update steps (= {total_steps} microbatches)")
             if targs.pipeline_parallel > 1:
                 raise ValueError("--fused_update drives its own reverse "
                                  "layer scan and cannot run under "
@@ -667,7 +670,14 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
             step_fn = make_pretrain_step(cfg, tcfg, lora_cfg)
             call = lambda st, b: step_fn(st, batch_from_arrays(b))  # noqa: E731
 
-        logger = MetricLogger(targs, total_steps)
+        # loop budget: total_steps is in MICROBATCHES (len(loader) x epochs,
+        # or --max_steps).  The fused in-batch-accum path consumes accum
+        # microbatches per call, so its call budget is total/accum — both
+        # paths then see the same data and apply the same update count.
+        loop_total = total_steps
+        if fused and tcfg.grad_accum_steps > 1:
+            loop_total = max(1, total_steps // tcfg.grad_accum_steps)
+        logger = MetricLogger(targs, loop_total)
         os.makedirs(targs.output_dir, exist_ok=True)
         last_metrics: Dict[str, float] = {}
         step_no = start_step
@@ -703,7 +713,7 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
         batches = DevicePrefetcher(host_batches, mesh=dev.mesh)
         profiler_on = False
         for batch in batches:
-            if step_no >= total_steps or stop_requested:
+            if step_no >= loop_total or stop_requested:
                 break
             if targs.profile_steps and step_no == start_step + 1:
                 import jax.profiler
@@ -724,7 +734,7 @@ def run_stage(stage: str, margs: ModelArgs, dargs: DataArgs, targs: TrainArgs,
                             f"{targs.output_dir}/profile")
             if stop_requested or (
                     targs.save_steps and step_no % targs.save_steps == 0
-                    and step_no < total_steps):
+                    and step_no < loop_total):
                 _save_periodic(targs.output_dir, step_no, state, targs, tcfg,
                                cfg, targs.save_total_limit)
         if profiler_on:

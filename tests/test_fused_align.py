@@ -57,9 +57,11 @@ def test_adafactor_leaf_matches_optax():
             p = p_mine
 
 
-def _tiny_setup(reps):
+def _tiny_setup(reps, capacity_factor=1.5, gating_group=0):
     """Tiny MoE student + dense teacher.  reps=1: moe_layers=[1] makes the
-    structural period == num_layers; reps=2: 'sparse' every-2nd-layer."""
+    structural period == num_layers; reps=2: 'sparse' every-2nd-layer.
+    capacity_factor < 1.5 makes token drops likely (routing-semantics
+    tests); gating_group > 0 gates fixed-size token groups independently."""
     vis = VisionConfig(image_size=28, patch_size=14, hidden_size=64,
                       num_layers=2, num_heads=2, intermediate_size=128)
     n_layers = 2 * reps
@@ -74,8 +76,10 @@ def _tiny_setup(reps):
     mcfg, mparams = upcycle(cfg.llm, params["llm"],
                             moe_mode="custom" if reps == 1 else "sparse",
                             moe_layers_idx=moe_layers,
-                            num_experts=2, top_k=1, capacity_factor=1.5,
+                            num_experts=2, top_k=1,
+                            capacity_factor=capacity_factor,
                             eval_capacity_factor=2.0)
+    mcfg = mcfg.replace(moe_gating_group_size=gating_group)
     cfg = cfg.replace(llm=mcfg)
     params["llm"] = mparams
     # make the router nonzero so it has gradients worth comparing
@@ -205,6 +209,100 @@ def test_fused_accum_matches_multisteps(reps, fused_remat):
 
     f_params = dict(f_state.params)
     f_params["llm"] = decoder.unstack_layers(cfg.llm, f_state.params["llm"])
+    flat_fused = dict(jax.tree_util.tree_leaves_with_path(f_params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(std_state.params):
+        np.testing.assert_allclose(
+            np.asarray(flat_fused[path], np.float32),
+            np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path), rtol=2e-2, atol=2e-2)
+
+
+def _fused_accum_run(cfg, tcfg, teacher_cfg, teacher, folded):
+    """One fused step on a folded batch from a fresh _tiny_setup tree."""
+    _, params, *_ = _tiny_setup(
+        2, capacity_factor=cfg.llm.moe_capacity_factor,
+        gating_group=cfg.llm.moe_gating_group_size)
+    params = dict(params)
+    params["llm"] = decoder.stack_layers(cfg.llm, params["llm"])
+    state = init_fused_state(params, cfg, tcfg)
+    step = make_fused_align_step(cfg, teacher_cfg, tcfg)
+    state, m = step(state, teacher, batch_from_arrays(folded))
+    out = dict(state.params)
+    out["llm"] = decoder.unstack_layers(cfg.llm, state.params["llm"])
+    return out, m
+
+
+def test_fused_accum_moe_global_gating_uses_folded_vjp():
+    """MoE + accum>1 + GLOBAL gating (group=0): routing pools capacity
+    across the folded microbatches, so the per-microbatch backward would be
+    the vjp of a DIFFERENT function.  The 'repeat' policy must warn and fall
+    back to the exact folded vjp — pinned here by matching 'save_all'
+    (residuals of the folded forward, ground truth) at a capacity that
+    actually drops tokens."""
+    from llavamod_tpu.train.loader import fold_microbatches
+
+    cfg, _, tcfg, teacher, _ = _tiny_setup(2, capacity_factor=1.0)
+    tcfg = tcfg.replace(grad_accum_steps=2)
+    teacher_cfg = cfg.replace(llm=cfg.llm.replace(
+        moe_num_experts=0, moe_layers=()))
+    d1, d2 = _batch_dict(3), _batch_dict(11)
+    (folded,) = list(fold_microbatches(iter([d1, d2]), 2, rows_per_sample=4))
+
+    with pytest.warns(UserWarning, match="global gating"):
+        p_rep, m_rep = _fused_accum_run(
+            cfg, tcfg.replace(fused_remat="repeat"), teacher_cfg, teacher,
+            folded)
+    p_all, m_all = _fused_accum_run(
+        cfg, tcfg.replace(fused_remat="save_all"), teacher_cfg, teacher,
+        folded)
+
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_all["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_rep["grad_norm"]),
+                               float(m_all["grad_norm"]), rtol=1e-3)
+    flat_all = dict(jax.tree_util.tree_leaves_with_path(p_all))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p_rep):
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32),
+            np.asarray(flat_all[path], np.float32),
+            err_msg=jax.tree_util.keystr(path), rtol=1e-3, atol=1e-3)
+
+    # the regime is non-vacuous: gating groups aligned to the microbatch
+    # route DIFFERENTLY than the folded-global gate at this capacity
+    cfg_g, _, _, _, _ = _tiny_setup(2, capacity_factor=1.0, gating_group=16)
+    p_grp, m_grp = _fused_accum_run(
+        cfg_g, tcfg.replace(fused_remat="repeat"), teacher_cfg, teacher,
+        folded)
+    assert abs(float(m_grp["loss"]) - float(m_rep["loss"])) > 1e-6, (
+        "grouped and global gating agreed — drop-divergence fixture is "
+        "vacuous, tighten capacity")
+
+
+def test_fused_accum_grouped_gating_matches_multisteps_with_drops():
+    """Gating groups aligned to the microbatch (group=16 divides the 2x16
+    microbatch tokens) make the microbatched per-repeat backward EXACT even
+    when tokens are dropped (capacity 1.0): params after one fused folded
+    step == optax.MultiSteps fed the same two microbatches separately."""
+    from llavamod_tpu.train.loader import fold_microbatches
+
+    cfg, params, tcfg, teacher, _ = _tiny_setup(
+        2, capacity_factor=1.0, gating_group=16)
+    tcfg = tcfg.replace(grad_accum_steps=2, fused_remat="repeat")
+    teacher_cfg = cfg.replace(llm=cfg.llm.replace(
+        moe_num_experts=0, moe_layers=()))
+    d1, d2 = _batch_dict(3), _batch_dict(11)
+
+    std_state = TrainState.create(params, tcfg)
+    std_step = make_align_step(cfg, teacher_cfg, tcfg)
+    std_state, m1 = std_step(std_state, teacher, batch_from_arrays(d1))
+    std_state, m2 = std_step(std_state, teacher, batch_from_arrays(d2))
+
+    (folded,) = list(fold_microbatches(iter([d1, d2]), 2, rows_per_sample=4))
+    f_params, f_m = _fused_accum_run(cfg, tcfg, teacher_cfg, teacher, folded)
+
+    np.testing.assert_allclose(
+        float(f_m["loss"]),
+        (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-4)
     flat_fused = dict(jax.tree_util.tree_leaves_with_path(f_params))
     for path, leaf in jax.tree_util.tree_leaves_with_path(std_state.params):
         np.testing.assert_allclose(
