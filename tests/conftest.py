@@ -40,6 +40,39 @@ if not os.environ.get("LLAVAMOD_TEST_NO_COMPILE_CACHE"):
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_compile_cache"))
+    # Stale entries (written by a different jax/jaxlib build or an
+    # interrupted writer) abort the CPU runtime at EXECUTION time with a
+    # bare SIGABRT — seen as a silent "Fatal Python error: Aborted" inside
+    # a metrics fetch.  Stamp the cache with the producing versions and
+    # wipe it on mismatch.
+    import shutil
+
+    import jaxlib
+
+    _stamp_path = os.path.join(_cache, "VERSION_STAMP")
+    _dirty_path = os.path.join(_cache, "SESSION_DIRTY")
+    _stamp = f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
+    try:
+        with open(_stamp_path) as f:
+            _ok = f.read().strip() == _stamp
+    except OSError:
+        _ok = False
+    # a sentinel left behind means the previous session was killed mid-run
+    # (e.g. by `timeout`) and may have truncated an entry mid-write
+    if os.path.exists(_dirty_path):
+        _ok = False
+    if not _ok:
+        shutil.rmtree(_cache, ignore_errors=True)
+        os.makedirs(_cache, exist_ok=True)
+        with open(_stamp_path, "w") as f:
+            f.write(_stamp)
+    with open(_dirty_path, "w") as f:
+        f.write(str(os.getpid()))
+
+    import atexit
+
+    atexit.register(lambda: os.path.exists(_dirty_path)
+                    and os.remove(_dirty_path))
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

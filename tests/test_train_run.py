@@ -26,6 +26,19 @@ from llavamod_tpu.train.run import run_stage
 pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_compile_cache():
+    """jax 0.9.0's CPU persistent-cache DESERIALIZATION aborts (bare
+    SIGABRT inside the first metrics fetch, no error text) on one of this
+    module's jitted train steps when the entry is re-loaded warm — cold
+    compiles of the identical program are fine.  Opt this module out of
+    the persistent cache (conftest.py enables it suite-wide)."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 class StubTok:
     bos_token_id = None
     pad_token_id = 0
