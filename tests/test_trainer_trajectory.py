@@ -1,0 +1,299 @@
+"""Multi-step optimizer-trajectory parity vs the LIVE reference trainer.
+
+Per-step loss parity (torch oracles) and structural mirrors of the
+optimizer/schedule existed before; this file closes the last gap in the
+"loss parity" claim (BASELINE.md): it runs the reference's OWN
+`AlignTrainer` (HF `Trainer.train`: AdamW + cosine schedule + warmup +
+global grad-norm clipping + per-group weight decay, reference
+align_trainer.py:326-436,530-589) for 10 steps on a tiny text-only model
+on CPU, and our `make_align_step` + `TrainState`/optax pipeline from
+IDENTICAL weights and batches, then pins the two loss trajectories to
+~1e-3.  Ten compounding updates make any divergence in the optimizer
+math, LR schedule off-by-ones, clipping, or loss normalization blow up
+quickly — per-step parity alone cannot catch those.
+
+Scope notes:
+  * text-only (the reference's tiny model has no vision tower and its
+    CLIP builder requires a network fetch; multimodal splice parity is
+    covered by tests/test_steps.py and tests/test_reference_interop.py).
+  * weight_decay = 0, matching EVERY reference recipe of record
+    (shells/train/qwen/*.sh: --weight_decay 0.).  At wd > 0 the two
+    implementations intentionally differ on RMSNorm scales: HF's
+    get_parameter_names(model, ALL_LAYERNORM_LAYERS) only exempts
+    nn.LayerNorm instances, so the reference DECAYS Qwen2RMSNorm weights;
+    our ndim>=2 mask exempts all norm scales (the usual AdamW practice).
+  * a handful of `Shim` overrides adapt the reference trainer (written
+    against transformers 4.37) to this image's 4.57 Trainer call
+    signatures — signatures only, no semantics.
+"""
+
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+pytestmark = pytest.mark.slow  # see pyproject: -m 'not slow' skips this file
+
+REFERENCE = "/root/reference"
+
+B, T, STEPS = 4, 32, 10
+LR, WARMUP_RATIO = 1e-3, 0.1
+
+
+@pytest.fixture(scope="module")
+def ref_trainer_mod():
+    """Import the reference AlignTrainer with its missing deps stubbed
+    (same pattern as tests/test_reference_interop.py) and the
+    transformers-4.57 import moves re-exposed."""
+    import os
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not present")
+    import torch.nn as nn
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    class Block(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    class MoE(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    class SPP:
+        def __init__(self, *a, **k):
+            pass
+
+    stub("timm")
+    stub("timm.models")
+    stub("timm.models.vision_transformer", Block=Block)
+    ds = stub("deepspeed")
+    moe = stub("deepspeed.moe")
+    lay = stub("deepspeed.moe.layer", MoE=MoE)
+    ds.moe, moe.layer = moe, lay
+    stub("sentencepiece", SentencePieceProcessor=SPP)
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    # transformers 4.57 moved these off transformers.trainer's namespace;
+    # the reference (4.37-era) imports them from there
+    import transformers.trainer as hf_trainer
+
+    if not hasattr(hf_trainer, "ALL_LAYERNORM_LAYERS"):
+        from transformers.pytorch_utils import ALL_LAYERNORM_LAYERS
+
+        hf_trainer.ALL_LAYERNORM_LAYERS = ALL_LAYERNORM_LAYERS
+    if not hasattr(hf_trainer, "get_parameter_names"):
+        from transformers.trainer_pt_utils import get_parameter_names
+
+        hf_trainer.get_parameter_names = get_parameter_names
+    if not hasattr(hf_trainer, "is_sagemaker_mp_enabled"):
+        from transformers.utils import is_sagemaker_mp_enabled
+
+        hf_trainer.is_sagemaker_mp_enabled = is_sagemaker_mp_enabled
+    if not hasattr(hf_trainer, "has_length"):
+        from transformers.trainer_utils import has_length
+
+        hf_trainer.has_length = has_length
+
+    import llavamod.train.align_trainer as at
+    from llavamod.config.args import TrainingArguments
+    from llavamod.model.language_model.llava_qwen1_5 import (
+        LlavaQwen1_5Config,
+        LlavaQwen1_5ForCausalLM,
+    )
+
+    return types.SimpleNamespace(
+        AlignTrainer=at.AlignTrainer, TrainingArguments=TrainingArguments,
+        model_cls=LlavaQwen1_5ForCausalLM, cfg_cls=LlavaQwen1_5Config)
+
+
+def _tiny_ref_model(mod, seed):
+    cfg = mod.cfg_cls(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0,
+        attn_implementation="eager", tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    model = mod.model_cls(cfg)
+    # reference train entries set this before Trainer.train (train.py,
+    # align_train.py); the vendored 4.37 cache API crashes otherwise
+    model.config.use_cache = False
+    return model
+
+
+def _batch_arrays():
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 500, (B, T))
+    labels = ids.copy()
+    labels[:, :8] = -100  # "instruction" prefix, masked from the losses
+    return ids, labels
+
+
+def _reference_trajectory(mod, student, teacher, ids, labels, tmp_path,
+                          loss_type):
+    """Drive the reference AlignTrainer's real Trainer.train loop."""
+    import torch.nn as nn
+
+    class RefWrap(nn.Module):
+        # single-process accelerate returns the model unwrapped, but
+        # AlignTrainer.__init__ dereferences .module (written for the
+        # DeepSpeed-wrapped path, align_trainer.py:305-308)
+        def __init__(self, inner):
+            super().__init__()
+            self.module = inner
+
+        def forward(self, *a, **kw):
+            return self.module(*a, **kw)
+
+    data = [dict(input_ids=torch.tensor(ids[i]),
+                 labels=torch.tensor(labels[i]),
+                 attention_mask=torch.ones(T, dtype=torch.long))
+            for i in range(B)]
+
+    class DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            return data[i]
+
+    def collate(feats):
+        return {k: torch.stack([f[k] for f in feats]) for k in feats[0]}
+
+    args = mod.TrainingArguments(
+        output_dir=str(tmp_path / "ref_out"),
+        per_device_train_batch_size=B, max_steps=STEPS,
+        learning_rate=LR, weight_decay=0.0, warmup_ratio=WARMUP_RATIO,
+        lr_scheduler_type="cosine", max_grad_norm=1.0, logging_steps=1,
+        save_strategy="no", report_to=[], use_cpu=True, seed=0,
+        remove_unused_columns=False, dataloader_num_workers=0)
+    args.moe_enable = False
+
+    class Shim(mod.AlignTrainer):
+        """transformers-4.57 call-signature adapters ONLY."""
+
+        def compute_loss(self, model, inputs, return_outputs=False, **kw):
+            # 4.46+ passes num_items_in_batch
+            return mod.AlignTrainer.compute_loss(self, model, inputs,
+                                                 return_outputs)
+
+        def _get_train_sampler(self, dataset=None):  # 4.52+ passes dataset
+            return mod.AlignTrainer._get_train_sampler(self)
+
+        def log(self, logs, start_time=None):  # 4.47+ passes start_time
+            return mod.AlignTrainer.log(self, logs)
+
+    trainer = Shim(model=student, ref_model=RefWrap(teacher), args=args,
+                   data_collator=collate, train_dataset=DS(),
+                   loss_type=loss_type, moe_loss_enable=False)
+    trainer.train()
+    hist = [h for h in trainer.state.log_history if "loss" in h]
+    assert len(hist) == STEPS
+    return hist
+
+
+def _our_trajectory(student, teacher, ids, labels, loss_type):
+    """Same weights/batch through our align step + optax pipeline."""
+    from llavamod_tpu.interop.hf import (
+        decoder_config_from_hf,
+        decoder_params_from_hf,
+    )
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.vision.vit import tiny_vision_config
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import batch_from_arrays, make_align_step
+
+    dcfg = decoder_config_from_hf(student.config)
+    vis = tiny_vision_config()
+    cfg = LlavaConfig(llm=dcfg, vision=vis, projector_type="mlp2x_gelu",
+                      max_images=1)
+    params = llava.init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params["llm"] = decoder_params_from_hf(dict(student.state_dict()), dcfg)
+    # the step donates the student state; the teacher tree must not alias
+    # its buffers (tower/projector values are unused anyway: no images)
+    tparams = jax.tree_util.tree_map(jnp.copy, dict(params))
+    tparams["llm"] = decoder_params_from_hf(dict(teacher.state_dict()), dcfg)
+
+    n_img = (vis.image_size // vis.patch_size) ** 2
+    batch = batch_from_arrays({
+        "input_ids": ids.astype(np.int32),
+        "segment_ids": np.ones((B, T), np.int32),
+        "image_mask": np.zeros((B, T), bool),
+        "image_pos": np.zeros((B, T), np.int32),
+        "pixels": np.zeros((B, 1, 3, vis.image_size, vis.image_size),
+                           np.float32),
+        "pixel_valid": np.zeros((B, 1), bool),
+        "labels": labels.astype(np.int32)})
+    del n_img
+
+    tcfg = TrainConfig(
+        stage="align", align_loss_type=loss_type, optimizer="adamw",
+        learning_rate=LR, weight_decay=0.0, warmup_ratio=WARMUP_RATIO,
+        lr_schedule="cosine", total_steps=STEPS, max_grad_norm=1.0,
+        compute_dtype="float32", remat=False, vocab_chunk=512,
+        kd_vocab_limit=512, train_modules=(), moe_loss_enable=False,
+        distill_all_tokens=False)
+    state = TrainState.create(params, tcfg)
+    step = make_align_step(cfg, cfg, tcfg)
+    out = []
+    for _ in range(STEPS):
+        state, metrics = step(state, tparams, batch)
+        out.append({k: float(v) for k, v in metrics.items()})
+    return out
+
+
+@pytest.mark.parametrize("loss_type", ["kd_lm", "only_kd"])
+def test_align_loss_trajectory_matches_reference_trainer(
+        ref_trainer_mod, tmp_path, loss_type):
+    mod = ref_trainer_mod
+    student = _tiny_ref_model(mod, 0)
+    teacher = _tiny_ref_model(mod, 1)
+    ids, labels = _batch_arrays()
+
+    ours = _our_trajectory(student, teacher, ids, labels, loss_type)
+    ref = _reference_trajectory(mod, student, teacher, ids, labels,
+                                tmp_path, loss_type)
+
+    ref_losses = np.array([h["loss"] for h in ref])
+    our_losses = np.array([m["loss"] for m in ours])
+    # the trainer must actually be training for the comparison to bite
+    # (only_kd moves slowly at this scale: the student already nearly
+    # matches the same-architecture teacher's smooth output distribution)
+    floor = 0.05 if loss_type == "kd_lm" else 0.005
+    assert ref_losses[-1] < ref_losses[0] - floor, ref_losses
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1.5e-3,
+                               err_msg=f"{loss_type} loss trajectories")
+
+    ref_align = np.array([h["loss/align"] for h in ref])
+    our_align = np.array([m["loss/align"] for m in ours])
+    np.testing.assert_allclose(our_align, ref_align, rtol=1.5e-3)
+    if loss_type == "kd_lm":
+        np.testing.assert_allclose(
+            np.array([m["loss/lm"] for m in ours]),
+            np.array([h["loss/lm"] for h in ref]), rtol=1.5e-3)
+
+    # grad-norm trajectory (HF logs the pre-clip global norm); looser: the
+    # two stacks compute it at different points but it must track
+    np.testing.assert_allclose(
+        np.array([m["grad_norm"] for m in ours]),
+        np.array([h["grad_norm"] for h in ref]), rtol=3e-2)
