@@ -114,6 +114,7 @@ def ref_trainer_mod():
         hf_trainer.has_length = has_length
 
     import llavamod.train.align_trainer as at
+    import llavamod.train.dpo_trainer as dt
     from llavamod.config.args import TrainingArguments
     from llavamod.model.language_model.llava_qwen1_5 import (
         LlavaQwen1_5Config,
@@ -121,7 +122,8 @@ def ref_trainer_mod():
     )
 
     return types.SimpleNamespace(
-        AlignTrainer=at.AlignTrainer, TrainingArguments=TrainingArguments,
+        AlignTrainer=at.AlignTrainer, DPOTrainer=dt.DPOTrainer,
+        TrainingArguments=TrainingArguments,
         model_cls=LlavaQwen1_5ForCausalLM, cfg_cls=LlavaQwen1_5Config)
 
 
@@ -297,3 +299,165 @@ def test_align_loss_trajectory_matches_reference_trainer(
     np.testing.assert_allclose(
         np.array([m["grad_norm"] for m in ours]),
         np.array([h["grad_norm"] for h in ref]), rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# DPO (stage 3): reference dpo_trainer.py:462-641 vs our 2-forward step
+# ---------------------------------------------------------------------------
+
+
+def _pref_arrays():
+    rng = np.random.RandomState(7)
+    cids = rng.randint(5, 500, (B, T))
+    rids = rng.randint(5, 500, (B, T))
+    clab, rlab = cids.copy(), rids.copy()
+    clab[:, :8] = -100
+    rlab[:, :8] = -100
+    return cids, clab, rids, rlab
+
+
+def _reference_dpo_trajectory(mod, student, teacher, arrays, tmp_path,
+                              loss_type):
+    import torch.nn as nn
+
+    cids, clab, rids, rlab = arrays
+
+    class RefWrap(nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.module = inner
+
+        def forward(self, *a, **kw):
+            return self.module(*a, **kw)
+
+    data = [dict(
+        chosen_input_ids=torch.tensor(cids[i]),
+        chosen_labels=torch.tensor(clab[i]),
+        chosen_attention_mask=torch.ones(T, dtype=torch.long),
+        rejected_input_ids=torch.tensor(rids[i]),
+        rejected_labels=torch.tensor(rlab[i]),
+        rejected_attention_mask=torch.ones(T, dtype=torch.long))
+        for i in range(B)]
+
+    class DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            return data[i]
+
+    def collate(feats):
+        return {k: torch.stack([f[k] for f in feats]) for k in feats[0]}
+
+    args = mod.TrainingArguments(
+        output_dir=str(tmp_path / "ref_dpo_out"),
+        per_device_train_batch_size=B, max_steps=STEPS,
+        learning_rate=LR, weight_decay=0.0, warmup_ratio=WARMUP_RATIO,
+        lr_scheduler_type="cosine", max_grad_norm=1.0, logging_steps=1,
+        save_strategy="no", report_to=[], use_cpu=True, seed=0,
+        remove_unused_columns=False, dataloader_num_workers=0)
+    args.moe_enable = False
+
+    class Shim(mod.DPOTrainer):
+        """transformers-4.57 call-signature adapters ONLY."""
+
+        def compute_loss(self, model, inputs, return_outputs=False, **kw):
+            return mod.DPOTrainer.compute_loss(self, model, inputs,
+                                               return_outputs)
+
+        def _get_train_sampler(self, dataset=None):
+            return mod.DPOTrainer._get_train_sampler(self)
+
+        def log(self, logs, start_time=None):
+            return mod.DPOTrainer.log(self, logs)
+
+    trainer = Shim(model=student, ref_model=RefWrap(teacher), args=args,
+                   data_collator=collate, train_dataset=DS(), beta=0.1,
+                   loss_type=loss_type, moe_loss_enable=False)
+    trainer.train()
+    hist = [h for h in trainer.state.log_history if "loss" in h]
+    assert len(hist) == STEPS
+    return hist
+
+
+def _our_dpo_trajectory(student, teacher, arrays, loss_type):
+    from llavamod_tpu.interop.hf import (
+        decoder_config_from_hf,
+        decoder_params_from_hf,
+    )
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.vision.vit import tiny_vision_config
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import make_dpo_step
+
+    cids, clab, rids, rlab = arrays
+    dcfg = decoder_config_from_hf(student.config)
+    vis = tiny_vision_config()
+    cfg = LlavaConfig(llm=dcfg, vision=vis, projector_type="mlp2x_gelu",
+                      max_images=1)
+    params = llava.init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params["llm"] = decoder_params_from_hf(dict(student.state_dict()), dcfg)
+    rparams = jax.tree_util.tree_map(jnp.copy, dict(params))
+    rparams["llm"] = decoder_params_from_hf(dict(teacher.state_dict()), dcfg)
+
+    def side(prefix, ids, labels):
+        return {
+            prefix + "input_ids": np.asarray(ids, np.int32),
+            prefix + "segment_ids": np.ones((B, T), np.int32),
+            prefix + "image_mask": np.zeros((B, T), bool),
+            prefix + "image_pos": np.zeros((B, T), np.int32),
+            prefix + "labels": np.asarray(labels, np.int32)}
+
+    batch = {**side("chosen_", cids, clab),
+             **side("rejected_", rids, rlab),
+             "pixels": np.zeros((B, 1, 3, vis.image_size, vis.image_size),
+                                np.float32),
+             "pixel_valid": np.zeros((B, 1), bool)}
+
+    tcfg = TrainConfig(
+        stage="dpo", optimizer="adamw", learning_rate=LR, weight_decay=0.0,
+        warmup_ratio=WARMUP_RATIO, lr_schedule="cosine", total_steps=STEPS,
+        max_grad_norm=1.0, compute_dtype="float32", remat=False,
+        vocab_chunk=512, train_modules=(), moe_loss_enable=False,
+        dpo_beta=0.1, dpo_loss_type=loss_type, dpo_label_smoothing=0.0)
+    state = TrainState.create(params, tcfg)
+    step = make_dpo_step(cfg, cfg, tcfg)
+    out = []
+    for _ in range(STEPS):
+        state, metrics = step(state, rparams, batch)
+        out.append({k: float(v) for k, v in metrics.items()})
+    return out
+
+
+@pytest.mark.parametrize("loss_type", ["sigmoid", "kto_pair"])
+def test_dpo_loss_trajectory_matches_reference_trainer(
+        ref_trainer_mod, tmp_path, loss_type):
+    """The 2-forward DPO step (policy chosen+rejected in one forward, vs
+    the reference's 4 separate forwards, dpo_trainer.py:596-609) must give
+    the same 10-step training trajectory under the same AdamW + cosine +
+    clipping pipeline.  sigmoid = the DPO default; kto_pair = the recipe
+    of record (preference_distillation.sh)."""
+    mod = ref_trainer_mod
+    student = _tiny_ref_model(mod, 0)
+    teacher = _tiny_ref_model(mod, 2)
+    arrays = _pref_arrays()
+
+    ours = _our_dpo_trajectory(student, teacher, arrays, loss_type)
+    ref = _reference_dpo_trajectory(mod, student, teacher, arrays, tmp_path,
+                                    loss_type)
+
+    ref_losses = np.array([h["loss"] for h in ref])
+    our_losses = np.array([m["loss"] for m in ours])
+    assert ref_losses[-1] < ref_losses[0], ref_losses  # training happens
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1.5e-3,
+                               err_msg=f"dpo {loss_type} trajectories")
+    for ours_k, ref_k in [("rewards/chosen", "rewards/chosen"),
+                          ("rewards/margins", "rewards/margins"),
+                          ("logps/chosen", "logps/chosen"),
+                          ("logps/rejected", "logps/rejected")]:
+        np.testing.assert_allclose(
+            np.array([m[ours_k] for m in ours]),
+            np.array([h[ref_k] for h in ref]), rtol=2e-3, atol=2e-3,
+            err_msg=ours_k)
