@@ -72,17 +72,26 @@ class DataLoader:
 
         out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        abandoned = threading.Event()
 
         def produce():
             try:
                 futures = []
                 for idx_batch in self._index_batches():
+                    if abandoned.is_set():
+                        return
                     futures.append(pool.submit(self._build, idx_batch))
                     # bound in-flight work: drain completed futures in order
                     while len(futures) > self.prefetch:
                         out.put(futures.pop(0).result())
                 for f in futures:
                     out.put(f.result())
+            except RuntimeError:
+                # the consumer abandoned the generator mid-epoch and shut
+                # the pool down while we were submitting — a normal exit
+                # for infinite_batches-style consumers, not an error
+                if not abandoned.is_set():
+                    raise
             finally:
                 out.put(_SENTINEL)
 
@@ -95,7 +104,13 @@ class DataLoader:
                     break
                 yield item
         finally:
+            abandoned.set()
             pool.shutdown(wait=False, cancel_futures=True)
+            # unblock a producer waiting on the bounded queue
+            try:
+                out.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def infinite_batches(loader: DataLoader) -> Iterator[Dict[str, Any]]:
