@@ -83,6 +83,72 @@ def xla_attention(
     return out.reshape(b, t, h, d)
 
 
+def _flash_under_mesh(call, q, k, v, segment_ids):
+    """Run the Pallas flash kernel per-shard under an ambient mesh.
+
+    GSPMD has no partitioning rule for a pallas_call, so under a mesh it
+    would replicate every operand (the same failure flash_decode works
+    around, ops/decode_attention.py:144-183).  Attention is independent
+    per batch row and per head, so when the mesh's batch axes
+    ('data'/'fsdp') divide B and the 'tensor' axis divides both H and KH,
+    re-enter through jax.shard_map with the batch dim over the batch axes
+    and the HEAD dims over 'tensor' — exact, and it also makes the kernel
+    legal inside a partially-manual region (the GPipe pipeline's
+    pipe-manual shard_map, parallel/pipeline.py): only non-Manual axes
+    are named.  Sequence-sharded ('seq') inputs are gathered by the
+    shard_map boundary (flash needs the whole causal sequence).
+
+    Returns the [B, T, H, D] output, or None to fall through to the
+    plain single-device call."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return None
+    from jax.sharding import AxisType
+    from jax.sharding import PartitionSpec as P
+
+    types = dict(zip(mesh.axis_names, mesh.axis_types))
+
+    def usable(name):
+        return (name in mesh.axis_names and types[name] != AxisType.Manual
+                and int(mesh.shape[name]) > 1)
+
+    batch_axes = tuple(a for a in ("data", "fsdp") if usable(a))
+    head_axes = tuple(a for a in ("tensor",) if usable(a))
+    nb = 1
+    for a in batch_axes:
+        nb *= int(mesh.shape[a])
+    nh = 1
+    for a in head_axes:
+        nh *= int(mesh.shape[a])
+    if nb * nh == 1:
+        return None
+    if q.shape[0] % nb or q.shape[2] % nh or k.shape[2] % nh:
+        return None
+
+    bspec = batch_axes if batch_axes else None
+    hspec = head_axes[0] if head_axes else None
+    qs = P(bspec, None, hspec, None)
+
+    args = [q, k, v]
+    specs = [qs, qs, qs]
+    if segment_ids is not None:
+        args += list(segment_ids)            # (q_seg [B,T], kv_seg [B,S])
+        specs += [P(bspec, None), P(bspec, None)]
+
+    def inner(*xs):
+        if len(xs) == 5:
+            q_, k_, v_, qseg_, kvseg_ = xs
+            return call(q_, k_, v_, (qseg_, kvseg_))
+        return call(*xs, None)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the checker would require
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=tuple(specs), out_specs=qs,
+        check_vma=False, axis_names=set(batch_axes) | set(head_axes),
+    )(*args)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -124,9 +190,16 @@ def dot_product_attention(
         # tuning knobs (read at trace time): sweep block sizes per workload
         bq = int(os.environ.get("LLAVAMOD_FLASH_BLOCK_Q", DEFAULT_BLOCK_Q))
         bk = int(os.environ.get("LLAVAMOD_FLASH_BLOCK_K", DEFAULT_BLOCK_K))
-        return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
-                               scale=scale, softcap=softcap,
-                               block_q=bq, block_k=bk)
+
+        def call(q_, k_, v_, segs_):
+            return flash_attention(q_, k_, v_, segment_ids=segs_,
+                                   causal=causal, scale=scale,
+                                   softcap=softcap, block_q=bq, block_k=bk)
+
+        sharded = _flash_under_mesh(call, q, k, v, segment_ids)
+        if sharded is not None:
+            return sharded
+        return call(q, k, v, segment_ids)
 
     if segment_ids is not None:
         q_seg, kv_seg = segment_ids

@@ -33,9 +33,11 @@ can differ from the non-pipelined program unless moe_gating_group_size
 divides the microbatch token count (then they are bit-identical; see
 tests/test_pipeline.py).  Limitations: the cached decode path and the
 per-token router-prob dump run non-pipelined (gating probes return empty
-under PP); Pallas flash attention inside the pipe-manual region is opaque
-to GSPMD on the auto axes — prefer attn_impl='xla' when combining PP with
-TP/FSDP sharding of attention.
+under PP).  Pallas flash attention works inside the pipe-manual region:
+ops/attention.py::_flash_under_mesh re-enters a nested shard_map over
+the remaining non-Manual axes (batch over data/fsdp, heads over tensor),
+so the kernel never sits in an auto-GSPMD region it is opaque to
+(tests/test_pipeline.py::test_pipeline_flash_attention).
 """
 
 from __future__ import annotations

@@ -217,6 +217,55 @@ def test_pipeline_align_step_matches_single_device():
                                    rtol=3e-4, atol=1e-5)
 
 
+def test_pipeline_flash_attention_t1024():
+    """Pallas flash attention INSIDE the pipe-manual region (VERDICT
+    round-3 #5): ops/attention.py::_flash_under_mesh re-enters a nested
+    shard_map over the non-Manual axes (batch over 'data', heads over
+    'tensor'), so the kernel never sits in an auto-GSPMD region.  T=1024
+    = real flash tiles (2x the 512 block); dh=64 (the kernel's minimum
+    lane quantum); interpret mode on the CPU devices."""
+    cfg = tiny_config(num_layers=4, hidden_size=256, num_heads=4,
+                      num_kv_heads=4, intermediate_size=192,
+                      vocab_size=512, scan_layers=True)
+    params = decoder.init(cfg, jax.random.PRNGKey(0))
+    ids = _ids(b=2, t=1024)
+
+    out = decoder.forward(params, cfg, input_ids=ids, train=True,
+                          attn_impl="flash")
+    h_ref = np.asarray(out.hidden)
+
+    mesh = make_mesh(MeshConfig(pipe=2, data=2, tensor=2))
+    with jax.set_mesh(mesh):
+        p = shard_params(mesh, params)
+        out_pp = jax.jit(lambda pp, ii: decoder.forward(
+            pp, cfg, input_ids=ii, train=True, attn_impl="flash"))(p, ids)
+        h_pp = jax.device_get(out_pp.hidden)
+    np.testing.assert_allclose(h_pp, h_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_under_gspmd_mesh():
+    """The same nested-shard_map wrapper makes the training flash kernel
+    legal under a plain GSPMD mesh (no pipe): batch over data/fsdp, heads
+    over tensor, bit-matching the unsharded kernel."""
+    cfg = tiny_config(num_layers=2, hidden_size=256, num_heads=4,
+                      num_kv_heads=4, intermediate_size=192,
+                      vocab_size=512, scan_layers=True)
+    params = decoder.init(cfg, jax.random.PRNGKey(1))
+    ids = _ids(b=4, t=256, seed=3)
+
+    out = decoder.forward(params, cfg, input_ids=ids, train=True,
+                          attn_impl="flash")
+    h_ref = np.asarray(out.hidden)
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    with jax.set_mesh(mesh):
+        p = shard_params(mesh, params)
+        out_m = jax.jit(lambda pp, ii: decoder.forward(
+            pp, cfg, input_ids=ii, train=True, attn_impl="flash"))(p, ids)
+        h_m = jax.device_get(out_m.hidden)
+    np.testing.assert_allclose(h_m, h_ref, rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_requires_divisible_batch():
     cfg, params = _dense_llm()
     ids = _ids(b=3)
