@@ -89,6 +89,10 @@ def main():
     cfg_name = os.environ.get("BENCH_CONFIG", "flagship")
     if cfg_name == "eval":
         return bench_eval()
+    if cfg_name == "pretrain":
+        return bench_pretrain()
+    if cfg_name == "dpo":
+        return bench_dpo()
     return bench_distill(cfg_name)
 
 
@@ -110,6 +114,249 @@ def _matmul_param_split(cfg):
             ffn += (cfg.moe_top_k - 1) * mlp_l
             router += d * cfg.moe_num_experts
     return attn, ffn, router, v * d
+
+
+def bench_pretrain():
+    """Stage-1 (projector pretrain) datapoint — the recipe of record:
+    Qwen2-0.5B + CLIP-ViT-L-336 + mlp2x_gelu, projector-only train set
+    (tune_mm_mlp_adapter), B=8, T=2048, bf16
+    (reference shells/train/qwen/pretrain.sh:25-57).
+
+    The backward still runs dL/dx through the whole frozen LLM (the
+    projector sits at the input), so the step is ~2 forwards of LLM
+    compute + the tower; only the dW matmuls are elided (stop-grad DCE).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import QWEN2_0_5B
+    from llavamod_tpu.models.llm.upcycle import activated_params
+    from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import batch_from_arrays, make_pretrain_step
+
+    b = int(os.environ.get("BENCH_BATCH", "8"))       # pretrain.sh:40
+    t = int(os.environ.get("BENCH_SEQ", "2048"))      # model_max_length
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # remat ON by default: B=8 x T=2048 x 24 layers of un-rematerialized
+    # residuals is 29.4 GB on a 15.75 GB chip (measured OOM); with remat
+    # the recompute rides the dL/dx backward the frozen LLM already pays
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    dtype = jnp.bfloat16
+
+    llm = QWEN2_0_5B.replace(scan_layers=True)
+    cfg = LlavaConfig(llm=llm, vision=CLIP_VIT_L_336,
+                      projector_type="mlp2x_gelu", max_images=1)
+    log(f"devices: {jax.devices()}")
+    log(f"pretrain bench: qwen2-0.5b + CLIP-L-336, B={b} T={t} "
+        f"projector-only")
+    params = llava.init(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    params["llm"] = decoder.stack_layers(cfg.llm, params["llm"])
+
+    tcfg = TrainConfig(stage="pretrain", tune_mm_mlp_adapter=True,
+                       optimizer="adamw", learning_rate=1e-3,
+                       warmup_ratio=0.03, lr_schedule="cosine",
+                       compute_dtype="bfloat16", remat=remat,
+                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "2048")),
+                       total_steps=10_000, max_grad_norm=1.0)
+    state = TrainState.create(params, tcfg)
+    step = make_pretrain_step(cfg, tcfg)
+
+    n_img = cfg.num_image_tokens
+    ids = np.random.randint(10, 1000, size=(b, t)).astype(np.int32)
+    image_mask = np.zeros((b, t), bool)
+    image_mask[:, 1:1 + n_img] = True
+    image_pos = np.zeros((b, t), np.int32)
+    for i in range(b):
+        image_pos[i, 1:1 + n_img] = i * n_img + np.arange(n_img)
+    labels = np.where(image_mask, -100, ids)
+    labels[:, : t // 8] = -100
+    s = cfg.vision.image_size
+    batch = batch_from_arrays({
+        "input_ids": ids, "segment_ids": np.ones((b, t), np.int32),
+        "image_mask": image_mask, "image_pos": image_pos,
+        "pixels": np.random.randn(b, 1, 3, s, s).astype(np.float32),
+        "pixel_valid": np.ones((b, 1), bool), "labels": labels})
+
+    log("compiling the pretrain step (first call)...")
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    log(f"compile+first step: {time.time() - t0:.1f}s  "
+        f"loss={float(metrics['loss']):.4f}")
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # fetch forces execution on the remote backend
+    elapsed = time.time() - t0
+
+    tok = b * t
+    tok_per_sec = tok * steps / elapsed
+    p_llm = activated_params(cfg.llm)
+    p_v = 0.30e9
+    # frozen LLM: fwd + dL/dx only (dW DCE'd); frozen tower fwd; the
+    # trainable projector's own matmuls are <0.1% and ignored
+    flops_per_step = 4 * p_llm * tok + 2 * p_v * 577 * b
+    mfu = flops_per_step * steps / elapsed / 197e12
+    log(f"elapsed {elapsed:.2f}s for {steps} steps; "
+        f"{tok_per_sec:.0f} tok/s/chip; MFU={mfu:.3f} (all-bf16)")
+    print(json.dumps({
+        "metric": "pretrain_tokens_per_sec_per_chip",
+        "value": round(tok_per_sec, 1),
+        "unit": f"tokens/s/chip (stage-1 projector-only, qwen2-0.5b + "
+                f"CLIP-L-336, B={b}, T={t}, bf16)",
+        "vs_baseline": round(mfu / 0.40, 3),
+        "mfu_bf16_peak": round(mfu, 3),
+        "mfu_dtype_aware": round(mfu, 3),
+    }))
+
+
+def bench_dpo():
+    """Stage-3 (preference distillation) datapoint — flagship shapes:
+    1.8B->4-expert-top-2 MoE policy (record FFN+router train set,
+    adafactor), dense 1.8B int8-W8A8 reference model, kto_pair, B=1,
+    T=2048 (reference shells/train/qwen/preference_distillation.sh).
+
+    Our step runs TWO forwards (policy on [chosen;rejected] stacked, ref
+    likewise, sharing one tower encode) vs the reference's FOUR separate
+    model calls (dpo_trainer.py:596-609).  tokens/s counts the 2*B*T
+    sequence tokens processed per step (both preference sides).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.llm import decoder
+    from llavamod_tpu.models.llm.config import QWEN1_5_1_8B
+    from llavamod_tpu.models.llm.upcycle import activated_params, upcycle
+    from llavamod_tpu.models.vision.vit import CLIP_VIT_L_336
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import make_dpo_step
+
+    b = int(os.environ.get("BENCH_BATCH", "1"))   # preference_*.sh
+    t = int(os.environ.get("BENCH_SEQ", "2048"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    ref_quant = os.environ.get("BENCH_REF_QUANT", "int8_head")
+    dtype = jnp.bfloat16
+    vis_cfg = CLIP_VIT_L_336
+
+    log(f"devices: {jax.devices()}")
+    log(f"dpo bench: 1.8b-MoE policy vs dense 1.8b ref "
+        f"({ref_quant or 'bf16'}), B={b} T={t} kto_pair remat={remat}")
+    base = QWEN1_5_1_8B.replace(scan_layers=True)
+    pol_cfg = LlavaConfig(llm=base, vision=vis_cfg,
+                          projector_type="mlp2x_gelu", max_images=1)
+    params = llava.init(pol_cfg, jax.random.PRNGKey(0), dtype=dtype)
+    moe_cfg, moe_params = upcycle(pol_cfg.llm, params["llm"],
+                                  moe_mode="sparse", num_experts=4, top_k=2,
+                                  capacity_factor=1.5,
+                                  eval_capacity_factor=2.0)
+    pol_cfg = pol_cfg.replace(llm=moe_cfg.replace(moe_gating_group_size=1024))
+    params["llm"] = decoder.stack_layers(pol_cfg.llm, moe_params)
+    del moe_params
+
+    ref_cfg = LlavaConfig(llm=base, vision=vis_cfg,
+                          projector_type="mlp2x_gelu", max_images=1)
+    ref_params = llava.init(ref_cfg, jax.random.PRNGKey(1), dtype=dtype,
+                            vision_params=params["vision"])
+    ref_params = {k: v for k, v in ref_params.items() if k != "vision"}
+    if ref_quant in ("int8", "int8_head"):
+        ref_params["llm"] = decoder.quantize_decoder_int8(
+            ref_params["llm"], include_lm_head=(ref_quant == "int8_head"))
+        log("frozen reference model quantized to int8 W8A8"
+            + (" + int8 LM head" if ref_quant == "int8_head" else ""))
+    ref_params["llm"] = decoder.stack_layers(ref_cfg.llm, ref_params["llm"])
+
+    # recipe of record: kto_pair, the d2s train set carried into stage 3
+    # (moe_finetune); adafactor — the 2.03B train set's Adam state cannot
+    # fit next to two 1.8B-class models on one v5e
+    tcfg = TrainConfig(stage="dpo", dpo_loss_type="kto_pair", dpo_beta=0.1,
+                       optimizer="adafactor", learning_rate=2e-6,
+                       train_modules=("/gate", "/up", "/down", "router"),
+                       moe_loss_enable=True, compute_dtype="bfloat16",
+                       remat=remat,
+                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "2048")),
+                       total_steps=10_000, max_grad_norm=0.0)
+    state = TrainState.create(params, tcfg)
+    step = make_dpo_step(pol_cfg, ref_cfg, tcfg)
+
+    n_img = pol_cfg.num_image_tokens
+    rng = np.random.RandomState(0)
+
+    def side(prefix):
+        ids = rng.randint(10, 1000, size=(b, t)).astype(np.int32)
+        mask = np.zeros((b, t), bool)
+        mask[:, 1:1 + n_img] = True
+        pos = np.zeros((b, t), np.int32)
+        for i in range(b):
+            pos[i, 1:1 + n_img] = i * n_img + np.arange(n_img)
+        labels = np.where(mask, -100, ids)
+        labels[:, : t // 4] = -100
+        return {prefix + "input_ids": ids,
+                prefix + "segment_ids": np.ones((b, t), np.int32),
+                prefix + "image_mask": mask, prefix + "image_pos": pos,
+                prefix + "labels": labels}
+
+    s = vis_cfg.image_size
+    batch = {**side("chosen_"), **side("rejected_"),
+             "pixels": rng.randn(b, 1, 3, s, s).astype(np.float32),
+             "pixel_valid": np.ones((b, 1), bool)}
+
+    log("compiling the dpo step (first call)...")
+    t0 = time.time()
+    state, metrics = step(state, ref_params, batch)
+    log(f"compile+first step: {time.time() - t0:.1f}s  "
+        f"loss={float(metrics['loss']):.4f}")
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, ref_params, batch)
+    float(metrics["loss"])  # fetch forces execution on the remote backend
+    elapsed = time.time() - t0
+
+    tok2 = 2 * b * t  # chosen + rejected rows per step
+    tok_per_sec = tok2 * steps / elapsed
+    p_pol = activated_params(pol_cfg.llm)
+    p_ref = activated_params(ref_cfg.llm)
+    p_v = 0.30e9
+    # policy fwd + dx + dW(FFN+router trainable) ~= 6P; ref fwd = 2P;
+    # one shared tower encode of the b images
+    flops_per_step = (6 * p_pol + 2 * p_ref) * tok2 + 2 * p_v * 577 * b
+    mfu = flops_per_step * steps / elapsed / 197e12
+    # dtype-aware: ref matmuls (attn+ffn+head at int8) against the 394
+    # TF/s int8 peak, everything else bf16
+    a_r, f_r, r_r, h_r = _matmul_param_split(ref_cfg.llm)
+    a_p, f_p, r_p, h_p = _matmul_param_split(pol_cfg.llm)
+    fi = fb = 0.0
+    if ref_quant == "int8_head":
+        fi += 2 * (a_r + f_r + h_r) * tok2
+    elif ref_quant == "int8":
+        fi += 2 * (a_r + f_r) * tok2
+        fb += 2 * h_r * tok2
+    else:
+        fb += 2 * (a_r + f_r + h_r) * tok2
+    fb += (6 * (f_p + r_p) + 4 * a_p + 4 * h_p) * tok2
+    fb += 2 * p_v * 577 * b
+    mfu_dtype = (fi / 394e12 + fb / 197e12) * steps / elapsed
+    log(f"elapsed {elapsed:.2f}s for {steps} steps; "
+        f"{tok_per_sec:.0f} tok/s/chip (2 sides); MFU={mfu:.3f} bf16-peak, "
+        f"{mfu_dtype:.3f} dtype-aware")
+    print(json.dumps({
+        "metric": "dpo_tokens_per_sec_per_chip",
+        "value": round(tok_per_sec, 1),
+        "unit": f"tokens/s/chip (kto_pair, 1.8b-MoE policy record train "
+                f"set + adafactor, dense 1.8b ref"
+                + (" int8-W8A8" if ref_quant.startswith("int8") else "")
+                + f", B={b}, T={t}, 2-forward step)",
+        "vs_baseline": round(mfu / 0.40, 3),
+        "mfu_bf16_peak": round(mfu, 3),
+        "mfu_dtype_aware": round(mfu_dtype, 3),
+    }))
 
 
 def bench_distill(cfg_name: str = "default"):
@@ -179,6 +426,10 @@ def bench_distill(cfg_name: str = "default"):
             # (fused_steps.py) — the COMPLETE record recipe on one chip:
             # 4 572 tok/s vs 4 904 without accumulation (BENCH_ACCUM=1)
             defaults["BENCH_ACCUM"] = "8"
+            # the accum=8 fold amortizes the loss lax.map's fixed
+            # overhead over 8x the rows: 4096 > 2048 HERE (4 837 vs
+            # 4 827), unlike every accum=1 config (sweep below)
+            defaults["BENCH_CHUNK"] = "4096"
     else:
         defaults = {}
     env = lambda k, d: os.environ.get(k, defaults.get(k, d))
@@ -202,8 +453,9 @@ def bench_distill(cfg_name: str = "default"):
     # vocab-chunk sweep on this workload: 2048 ~ 1024 (0.504 MFU) > 4096
     # (0.498) > 8192 (0.494) > 16k/32k (0.489) — smaller chunks keep the
     # [N, C] fp32 intermediates resident in VMEM between the two head
-    # matmuls and the streaming stats
-    chunk = int(os.environ.get("BENCH_CHUNK", "2048"))
+    # matmuls and the streaming stats.  The accum=8 flagship fold flips
+    # this: 4096 > 2048 there (per-config default; BENCH_NOTES round-8)
+    chunk = int(env("BENCH_CHUNK", "2048"))
     # per-sequence gating groups by default: linear-cost dispatch einsums
     # and DeepSpeed per-rank-batch parity (the reference gates per GPU with
     # per-GPU batch 1, dense2sparse_distillation.sh)
@@ -289,6 +541,9 @@ def bench_distill(cfg_name: str = "default"):
                        fused_remat=env("BENCH_FUSED_REMAT", "repeat"),
                        fused_teacher_chunks=int(
                            env("BENCH_TEACHER_CHUNKS", "-1")),
+                       fused_bwd_microbatches=int(
+                           env("BENCH_BWD_MB", "-1")),
+                       fused_fwd_chunks=int(env("BENCH_FWD_CHUNKS", "-1")),
                        grad_accum_steps=int(env("BENCH_ACCUM", "1")),
                        total_steps=10_000, max_grad_norm=1.0)
     accum = tcfg.grad_accum_steps

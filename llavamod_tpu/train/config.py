@@ -73,6 +73,22 @@ class TrainConfig:
     # accumulation microbatch when accum > 1 and the teacher is dense);
     # 0/1 = off; N = explicit chunk count (must divide the folded batch).
     fused_teacher_chunks: int = -1
+    # Accumulation microbatches per backward vjp call in the fused step's
+    # reverse scan.  1 = one vjp per microbatch (minimum residual memory);
+    # k = recompute+vjp k microbatches at a time (k x the residual
+    # transient, fewer/larger kernels); -1 = auto (= 1: swept at record
+    # shapes, chunked backward loses — 2-mb 4563 / 4-mb see BENCH_NOTES
+    # round-8 — unlike the teacher forward where 2-row chunks win).  Only
+    # multiples of whole microbatches are legal (gating exactness); must
+    # divide grad_accum_steps.
+    fused_bwd_microbatches: int = -1
+    # Forward-scan batch-row chunks in the fused step (lax.map inside each
+    # repeat body).  The folded forward's working set at accum=8 is what
+    # the 6.8% accumulation tax mostly buys; 2-row chunks won ~4% on the
+    # teacher forward and this applies the same shape to the student's
+    # forward scan.  Exact when gating groups tile the chunk (the same
+    # mb_gating_exact condition).  -1 = auto; 0/1 = off; N = chunk count.
+    fused_fwd_chunks: int = -1
     vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     attn_impl: str = "auto"                    # auto | flash | xla
     # Run the frozen vision tower once per step and feed both teacher and

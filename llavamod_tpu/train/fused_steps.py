@@ -221,70 +221,6 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                      else jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)))
         cbatch = batch._replace(pixels=batch.pixels.astype(dtype))
 
-        # --- frozen tower once; teacher forward (stop-grad) ---
-        tower = (_shared_tower_feats(params, cfg, cbatch, tcfg)
-                 if share_tower else None)
-        accum_ = max(1, tcfg.grad_accum_steps)
-        n_tc = tcfg.fused_teacher_chunks
-        if n_tc < 0:
-            # auto: 2-row chunks, only when accumulating.  Swept at record
-            # shapes (7b int8 teacher, 8x1 fold, T=2048, v5e): 2-row chunks
-            # 4733 tok/s > folded 4572 > 1-row 4533; 4-row chunks hit an
-            # XLA emitter cliff (519 tok/s) — see BENCH_NOTES round-8.
-            n_tc = b // 2 if (accum_ > 1 and b % 2 == 0 and b > 2) else 1
-        if teacher_cfg.llm.is_moe or b % max(1, n_tc) != 0:
-            n_tc = 1  # row chunking is only exact for a dense teacher
-        h_t, w_t = teacher_forward(teacher_params, cbatch, tower, positions,
-                                   n_tc)
-
-        # --- head section: embeddings + projector + splice, vjp'd wrt the
-        # projector (the only trainable params outside the layer stack) ---
-        llm_p = params["llm"]
-
-        def head_fn(proj_p):
-            tree = {"llm": llm_p, "projector": proj_p}
-            if tower is None:
-                tree["vision"] = params["vision"]  # frozen (stop-grad inside)
-            x0 = llava.multimodal_embed(tree, cfg, cbatch, tower)
-            return decoder._seq_constraint(cfg.llm, x0)
-
-        x0, head_vjp = jax.vjp(head_fn, params["projector"])
-
-        # --- forward scan over repeats ---
-        # fused_remat == 'repeat': save each repeat's INPUT; the backward
-        # re-runs the repeat forward (per-repeat remat, minimum memory).
-        # fused_remat == 'save_dots'/'save_all': carry each repeat's vjp
-        # RESIDUALS out of the scan (jax.vjp's function is a pytree, so
-        # lax.scan stacks its residual leaves on the reps axis) — the
-        # backward then skips the forward recompute, trading ~1 student
-        # forward of FLOPs for the residual memory Adafactor freed.
-        rep_fwd = lambda p, x: rep_forward(  # noqa: E731
-            p, x, positions, batch.segment_ids)
-        save_residuals = tcfg.fused_remat != "repeat"
-        if tcfg.fused_remat == "save_dots":
-            rep_fwd = jax.checkpoint(
-                rep_fwd,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-
-        if save_residuals:
-            def fwd_body(x, rep_params):
-                (x_out, aux), vjp_fn = jax.vjp(rep_fwd, rep_params, x)
-                return x_out, (vjp_fn, aux)
-        else:
-            def fwd_body(x, rep_params):
-                x_out, aux = rep_fwd(rep_params, x)
-                return x_out, (x, aux)
-
-        x_last, (saved, aux_per_rep) = jax.lax.scan(
-            fwd_body, x0, tuple(pstack),
-            unroll=max(1, cfg.llm.scan_unroll))
-        aux_total = jnp.sum(aux_per_rep)
-
-        # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last ---
-        w_s = llava.lm_head_weight(params, cfg)
-        if tcfg.student_head_quant and not isinstance(w_s, dict):
-            w_s = jax.lax.stop_gradient(decoder.quantize_head_int8(w_s))
-
         accum = max(1, tcfg.grad_accum_steps)
         assert b % accum == 0, (
             f"fused accumulation folds microbatches into the batch axis: "
@@ -317,6 +253,97 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                     "moe_gating_group_size to a divisor of the microbatch "
                     "token count for exact accumulation semantics.",
                     stacklevel=2)
+
+        # --- frozen tower once; teacher forward (stop-grad) ---
+        tower = (_shared_tower_feats(params, cfg, cbatch, tcfg)
+                 if share_tower else None)
+        n_tc = tcfg.fused_teacher_chunks
+        if n_tc < 0:
+            # auto: 2-row chunks, only when accumulating.  Swept at record
+            # shapes (7b int8 teacher, 8x1 fold, T=2048, v5e): 2-row chunks
+            # 4733 tok/s > folded 4572 > 1-row 4533; 4-row chunks hit an
+            # XLA emitter cliff (519 tok/s) — see BENCH_NOTES round-8.
+            n_tc = b // 2 if (accum > 1 and b % 2 == 0 and b > 2) else 1
+        if teacher_cfg.llm.is_moe or b % max(1, n_tc) != 0:
+            n_tc = 1  # row chunking is only exact for a dense teacher
+        h_t, w_t = teacher_forward(teacher_params, cbatch, tower, positions,
+                                   n_tc)
+
+        # --- head section: embeddings + projector + splice, vjp'd wrt the
+        # projector (the only trainable params outside the layer stack) ---
+        llm_p = params["llm"]
+
+        def head_fn(proj_p):
+            tree = {"llm": llm_p, "projector": proj_p}
+            if tower is None:
+                tree["vision"] = params["vision"]  # frozen (stop-grad inside)
+            x0 = llava.multimodal_embed(tree, cfg, cbatch, tower)
+            return decoder._seq_constraint(cfg.llm, x0)
+
+        x0, head_vjp = jax.vjp(head_fn, params["projector"])
+
+        # --- forward scan over repeats ---
+        # fused_remat == 'repeat': save each repeat's INPUT; the backward
+        # re-runs the repeat forward (per-repeat remat, minimum memory).
+        # fused_remat == 'save_dots'/'save_all': carry each repeat's vjp
+        # RESIDUALS out of the scan (jax.vjp's function is a pytree, so
+        # lax.scan stacks its residual leaves on the reps axis) — the
+        # backward then skips the forward recompute, trading ~1 student
+        # forward of FLOPs for the residual memory Adafactor freed.
+        rep_fwd = lambda p, x: rep_forward(  # noqa: E731
+            p, x, positions, batch.segment_ids)
+        save_residuals = tcfg.fused_remat != "repeat"
+
+        # Forward-scan row chunking (lax.map inside each repeat body): the
+        # folded working set is the accumulation tax; 2-row chunks are the
+        # measured sweet spot for the teacher forward and apply here when
+        # gating groups tile the chunk.  Values are identical (per-chunk
+        # aux means average to the folded mean), so the microbatched
+        # backward below differentiates the same function either way.
+        fwd_chunks = tcfg.fused_fwd_chunks
+        if fwd_chunks < 0:
+            # auto: one chunk per accumulation microbatch — swept at the
+            # record shapes: per-microbatch 4827 > 2-row 4805 > folded
+            # 4732 tok/s (BENCH_NOTES round-8)
+            fwd_chunks = accum if accum > 1 else 1
+        rows_ok = (fwd_chunks > 1 and b % fwd_chunks == 0
+                   and (b // fwd_chunks) % max(1, b // accum) == 0)
+        if rows_ok and (not cfg.llm.is_moe or mb_gating_exact) \
+                and not save_residuals:
+            rows = b // fwd_chunks
+            pos_c = positions.reshape(fwd_chunks, rows, t)
+            seg_c = batch.segment_ids.reshape(fwd_chunks, rows, t)
+
+            def rep_fwd(p, x):  # noqa: F811
+                xc = x.reshape(fwd_chunks, rows, *x.shape[1:])
+                xo, aux = jax.lax.map(
+                    lambda a: rep_forward(p, a[0], a[1], a[2]),
+                    (xc, pos_c, seg_c))
+                return xo.reshape(x.shape), jnp.mean(aux)
+
+        if tcfg.fused_remat == "save_dots":
+            rep_fwd = jax.checkpoint(
+                rep_fwd,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+        if save_residuals:
+            def fwd_body(x, rep_params):
+                (x_out, aux), vjp_fn = jax.vjp(rep_fwd, rep_params, x)
+                return x_out, (vjp_fn, aux)
+        else:
+            def fwd_body(x, rep_params):
+                x_out, aux = rep_fwd(rep_params, x)
+                return x_out, (x, aux)
+
+        x_last, (saved, aux_per_rep) = jax.lax.scan(
+            fwd_body, x0, tuple(pstack),
+            unroll=max(1, cfg.llm.scan_unroll))
+        aux_total = jnp.sum(aux_per_rep)
+
+        # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last ---
+        w_s = llava.lm_head_weight(params, cfg)
+        if tcfg.student_head_quant and not isinstance(w_s, dict):
+            w_s = jax.lax.stop_gradient(decoder.quantize_head_int8(w_s))
 
         def _one_microbatch_loss(hidden_m, labels_m, h_t_m):
             """Loss for one microbatch, normalized by ITS token count —
@@ -374,22 +401,35 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                 lambda d: (jnp.zeros((), jnp.float32)
                            if d.dtype == jax.dtypes.float0 else d), tree)
 
+        bwd_mb = tcfg.fused_bwd_microbatches
+        if bwd_mb < 0:
+            # auto: 1 — swept at record shapes (BENCH_NOTES round-8): the
+            # teacher forward's 2-row sweet spot does NOT transfer to the
+            # backward (2-mb chunks 4563 < 1-mb 4732 tok/s); the residual
+            # transient apparently crowds the backward's working set
+            bwd_mb = 1
+        if accum % max(1, bwd_mb) != 0:
+            bwd_mb = 1
+        n_bwd = accum // max(1, bwd_mb)
+
         def _rep_vjp_microbatched(rep_p, saved_i, g):
-            """Per-repeat vjp one MICROBATCH at a time, summing dparams.
+            """Per-repeat vjp in chunks of `bwd_mb` MICROBATCHES, summing
+            dparams.
 
             The folded-batch vjp holds the whole repeat's residuals at the
             folded size; at record shapes with accum=8 that transient is
-            what OOMs.  Running the accum microbatches sequentially keeps
-            the residual transient at microbatch size while the summed
-            dparams carry is one repeat's gradient slice.  The folded aux
-            is the MEAN over microbatches (per-group normalization in
-            ops/moe.py), so each microbatch's aux cotangent is coef/accum."""
-            mb = saved_i.shape[0] // accum
+            what OOMs.  Running the chunks sequentially keeps the residual
+            transient at chunk size while the summed dparams carry is one
+            repeat's gradient slice.  Chunking along whole microbatches
+            keeps gating exact (mb_gating_exact above).  The folded aux is
+            the MEAN over microbatches (per-group normalization in
+            ops/moe.py), so each chunk's aux cotangent is coef/n_chunks."""
+            mb = saved_i.shape[0] // n_bwd
             split = lambda a: a.reshape(  # noqa: E731
-                accum, mb, *a.shape[1:])
+                n_bwd, mb, *a.shape[1:])
             xm, gm = split(saved_i), split(g)
             pm, sm = split(positions), split(batch.segment_ids)
-            mb_cot = aux_cot / accum
+            mb_cot = aux_cot / n_bwd
 
             def one(x_m, g_m, p_m, s_m):
                 _, vjp = jax.vjp(
