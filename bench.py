@@ -646,13 +646,20 @@ def bench_distill(cfg_name: str = "default"):
         assert decoder._layer_period(teacher_llm) == 1
 
         def _q_layer(lk):
+            # same fused layout quantize_decoder_int8(fuse=True) emits:
+            # wq|wk|wv -> one 'wqkv' matmul, gate|up -> one 'gate_up'
             lp = decoder.init_layer(teacher_llm, lk, dtype=dtype)
-            attn = {k: (decoder.quantize_dense_int8(v)
-                        if k in ("wq", "wk", "wv", "wo") else v)
-                    for k, v in lp["attn"].items()}
-            mlp = {k: (decoder.quantize_dense_int8(v)
-                       if k in ("gate", "up", "down") else v)
-                   for k, v in lp["mlp"].items()}
+            attn = {k: v for k, v in lp["attn"].items()
+                    if k not in ("wq", "wk", "wv", "wo")}
+            attn["wqkv"] = decoder.quantize_dense_int8(jnp.concatenate(
+                [lp["attn"]["wq"], lp["attn"]["wk"], lp["attn"]["wv"]],
+                axis=1))
+            attn["wo"] = decoder.quantize_dense_int8(lp["attn"]["wo"])
+            mlp = {k: v for k, v in lp["mlp"].items()
+                   if k not in ("gate", "up", "down")}
+            mlp["gate_up"] = decoder.quantize_dense_int8(jnp.concatenate(
+                [lp["mlp"]["gate"], lp["mlp"]["up"]], axis=1))
+            mlp["down"] = decoder.quantize_dense_int8(lp["mlp"]["down"])
             return {**lp, "attn": attn, "mlp": mlp}
 
         tk = jax.random.split(k2, teacher_llm.num_layers + 3)

@@ -364,7 +364,8 @@ def quantize_decoder_int8(params: Params,
                           include_lm_head: bool = False,
                           include_experts: bool = False,
                           include_embed: bool = False,
-                          include_mlp: bool = True) -> Params:
+                          include_mlp: bool = True,
+                          fuse: bool = True) -> Params:
     """Quantize every layer's attention/MLP weights to int8 (embed and norms
     stay float).  include_lm_head additionally quantizes the output head —
     per-vocab-row scales, consumed on the int8 MXU by the chunked KD losses
@@ -377,7 +378,19 @@ def quantize_decoder_int8(params: Params,
     selective mode for the record train set (dense2sparse_distillation.sh
     trains every FFN + router while attention/embeddings/head stay frozen:
     the frozen attention joins the int8 MXU, the trainable FFNs stay
-    float)."""
+    float).
+
+    fuse=True (default) concatenates the projections that share an input
+    into ONE int8 matmul each: wq|wk|wv -> 'wqkv' [D, (H+2KH)*dh] and
+    gate|up -> 'gate_up' [D, 2F].  Forward numerics are BIT-IDENTICAL to
+    the unfused layout (the shared input is quantized once with the same
+    per-row scales either way, and weight scales are per-output-channel,
+    so they concatenate exactly); the win is 1 activation quantization
+    instead of 3 (qkv) / 2 (gate-up) and one wide MXU matmul instead of
+    several — and the straight-through backward dL/dx collapses to one
+    wide int8 matmul too (with one shared cotangent scale per row instead
+    of one per projection, a granularity change inside the STE estimate).
+    attention_forward / mlp_forward consume either layout."""
     out = dict(params)
     if include_lm_head:
         w = lm_head_weight(params, None)
@@ -397,12 +410,25 @@ def quantize_decoder_int8(params: Params,
     for layer in params["layers"]:
         layer = dict(layer)
         attn = dict(layer["attn"])
-        for k in ("wq", "wk", "wv", "wo"):
-            if not isinstance(attn[k], dict):
-                attn[k] = quantize_dense_int8(attn[k])
+        if fuse and all(not isinstance(attn.get(k), dict)
+                        for k in ("wq", "wk", "wv")):
+            attn["wqkv"] = quantize_dense_int8(jnp.concatenate(
+                [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")], axis=1))
+        else:
+            for k in ("wq", "wk", "wv"):
+                if not isinstance(attn[k], dict):
+                    attn[k] = quantize_dense_int8(attn[k])
+        if not isinstance(attn["wo"], dict):
+            attn["wo"] = quantize_dense_int8(attn["wo"])
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
         if include_mlp:
+            if (fuse and "gate" in mlp
+                    and not isinstance(mlp["gate"], dict)
+                    and not isinstance(mlp["up"], dict)
+                    and mlp["gate"].shape == mlp["up"].shape):
+                mlp["gate_up"] = quantize_dense_int8(jnp.concatenate(
+                    [mlp.pop("gate"), mlp.pop("up")], axis=1))
             for k in ("gate", "up", "down"):
                 if k in mlp and not isinstance(mlp[k], dict):
                     mlp[k] = quantize_dense_int8(mlp[k])
@@ -421,13 +447,22 @@ def quantize_decoder_int8(params: Params,
 
 
 def mlp_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    up = dense(x, p["up"])
-    if cfg.mlp_bias:
-        up = up + p["up_bias"]
-    if cfg.gated_mlp:
-        h = _activation(cfg, dense(x, p["gate"])) * up
+    if "gate_up" in p:
+        # fused frozen-int8 gate|up (quantize_decoder_int8 fuse=True)
+        gu = dense(x, p["gate_up"])
+        f = gu.shape[-1] // 2
+        up = gu[..., f:]
+        if cfg.mlp_bias:
+            up = up + p["up_bias"]
+        h = _activation(cfg, gu[..., :f]) * up
     else:
-        h = _activation(cfg, up)
+        up = dense(x, p["up"])
+        if cfg.mlp_bias:
+            up = up + p["up_bias"]
+        if cfg.gated_mlp:
+            h = _activation(cfg, dense(x, p["gate"])) * up
+        else:
+            h = _activation(cfg, up)
     out = dense(h, p["down"])
     if cfg.mlp_bias:
         out = out + p["down_bias"]
@@ -718,9 +753,17 @@ def attention_forward(cfg: DecoderConfig, p: Params, x: jnp.ndarray,
     b, t, d = x.shape
     h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = dense(x, p["wq"])
-    k = dense(x, p["wk"])
-    v = dense(x, p["wv"])
+    if "wqkv" in p:
+        # fused frozen-int8 projection (quantize_decoder_int8 fuse=True):
+        # one activation quantization + one wide MXU matmul for q|k|v
+        qkv = dense(x, p["wqkv"])
+        q = qkv[..., :h * dh]
+        k = qkv[..., h * dh:(h + kh) * dh]
+        v = qkv[..., (h + kh) * dh:]
+    else:
+        q = dense(x, p["wq"])
+        k = dense(x, p["wk"])
+        v = dense(x, p["wv"])
     if cfg.qkv_bias:
         q, k, v = q + p["bq"], k + p["bk"], v + p["bv"]
     q = q.reshape(b, t, h, dh)

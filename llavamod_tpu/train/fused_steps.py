@@ -259,11 +259,14 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                  if share_tower else None)
         n_tc = tcfg.fused_teacher_chunks
         if n_tc < 0:
-            # auto: 2-row chunks, only when accumulating.  Swept at record
-            # shapes (7b int8 teacher, 8x1 fold, T=2048, v5e): 2-row chunks
-            # 4733 tok/s > folded 4572 > 1-row 4533; 4-row chunks hit an
-            # XLA emitter cliff (519 tok/s) — see BENCH_NOTES round-8.
-            n_tc = b // 2 if (accum > 1 and b % 2 == 0 and b > 2) else 1
+            # auto: 1-row chunks, only when accumulating.  Swept at record
+            # shapes (7b int8 teacher, 8x1 fold, T=2048, v5e) AFTER the
+            # fused wqkv/gate_up int8 teacher layout: 1-row 4966 tok/s >
+            # 2-row 4745 > folded.  (Pre-fusion the order was reversed —
+            # 2-row 4733 > folded 4572 > 1-row 4533 — the wide fused
+            # weights changed the per-chunk working set; 4-row chunks hit
+            # an XLA emitter cliff either way.)  BENCH_NOTES round-8/10.
+            n_tc = b if accum > 1 else 1
         if teacher_cfg.llm.is_moe or b % max(1, n_tc) != 0:
             n_tc = 1  # row chunking is only exact for a dense teacher
         h_t, w_t = teacher_forward(teacher_params, cbatch, tower, positions,

@@ -51,7 +51,22 @@ if not os.environ.get("LLAVAMOD_TEST_NO_COMPILE_CACHE"):
 
     _stamp_path = os.path.join(_cache, "VERSION_STAMP")
     _dirty_path = os.path.join(_cache, "SESSION_DIRTY")
-    _stamp = f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
+    # The stamp must also pin the HOST CPU: XLA:CPU AOT entries embed the
+    # compile machine's feature set, and loading them on a different host
+    # "could lead to execution errors such as SIGILL" (cpu_aot_loader) —
+    # observed as wrong numerics / bare SIGABRTs when this repo's cache
+    # travels between machines.  Hash /proc/cpuinfo's flags line.
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        import platform
+
+        _flags = platform.processor() + platform.machine()
+    _cpu = hashlib.sha256(_flags.encode()).hexdigest()[:16]
+    _stamp = f"jax={jax.__version__} jaxlib={jaxlib.__version__} cpu={_cpu}"
     try:
         with open(_stamp_path) as f:
             _ok = f.read().strip() == _stamp

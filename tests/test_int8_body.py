@@ -231,3 +231,61 @@ class TestQuantizedBodyTraining:
         last = float(loss)
         assert np.isfinite(last)
         assert last < 0.97 * first, (first, last)
+
+
+class TestFusedInt8Layout:
+    """quantize_decoder_int8(fuse=True) — the default — concatenates
+    projections sharing an input into one wide int8 matmul (wq|wk|wv ->
+    'wqkv', gate|up -> 'gate_up').  The forward is BIT-identical to the
+    unfused layout: the shared input is quantized once with the same
+    per-row scales either way, weight scales are per-output-channel (they
+    concatenate exactly), and the int32 MXU accumulation is exact."""
+
+    def _cfg_params(self):
+        from llavamod_tpu.models.llm.config import tiny_config
+
+        cfg = tiny_config(num_layers=2, num_heads=4, num_kv_heads=2,
+                          hidden_size=32, intermediate_size=64,
+                          vocab_size=128, qkv_bias=True)
+        return cfg, decoder.init(cfg, jax.random.PRNGKey(7))
+
+    def test_fused_forward_bit_identical_to_unfused(self):
+        cfg, params = self._cfg_params()
+        qf = decoder.quantize_decoder_int8(params, fuse=True)
+        qu = decoder.quantize_decoder_int8(params, fuse=False)
+        attn = qf["layers"][0]["attn"]
+        assert "wqkv" in attn and "wq" not in attn
+        assert "gate_up" in qf["layers"][0]["mlp"]
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                 cfg.vocab_size)
+        h_f = decoder.forward(qf, cfg, input_ids=ids, train=True).hidden
+        h_u = decoder.forward(qu, cfg, input_ids=ids, train=True).hidden
+        np.testing.assert_array_equal(np.asarray(h_f), np.asarray(h_u))
+
+    def test_fused_ste_grads_flow_upstream(self):
+        """dL/dx through the fused wqkv/gate_up matmuls reaches a float
+        param upstream of the whole quantized stack (the embedding),
+        matching the unfused STE direction."""
+        cfg, params = self._cfg_params()
+
+        def emb_grad(q):
+            def loss(emb):
+                full = dict(q)
+                full["embed"] = {"embedding": emb}
+                ids = jnp.arange(8, dtype=jnp.int32).reshape(1, 8) + 3
+                out = decoder.forward(full, cfg, input_ids=ids, train=True)
+                return jnp.sum(out.hidden.astype(jnp.float32) ** 2)
+
+            return jax.grad(loss)(params["embed"]["embedding"])
+
+        g_f = np.asarray(emb_grad(decoder.quantize_decoder_int8(
+            params, fuse=True)), np.float64)
+        g_u = np.asarray(emb_grad(decoder.quantize_decoder_int8(
+            params, fuse=False)), np.float64)
+        assert np.isfinite(g_f).all() and np.linalg.norm(g_f) > 1e-6
+        cos = (g_f * g_u).sum() / (np.linalg.norm(g_f)
+                                   * np.linalg.norm(g_u) + 1e-12)
+        # backward cotangent quantization granularity differs (one shared
+        # row scale across the fused width vs one per projection) — the
+        # STE estimates agree in direction, not bit-for-bit
+        assert cos > 0.99, cos

@@ -24,13 +24,20 @@ pytestmark = pytest.mark.slow  # compile-heavy numerics; -m "not slow" skips
 def _fill_built(cfg, key, dtype):
     """The bench.py big-teacher build, on a tiny config."""
     def q_layer(lk):
+        # mirror of bench.py::_q_layer — the FUSED int8 layout
+        # (quantize_decoder_int8 fuse=True): wq|wk|wv -> 'wqkv',
+        # gate|up -> 'gate_up'
         lp = decoder.init_layer(cfg, lk, dtype=dtype)
-        attn = {k: (decoder.quantize_dense_int8(v)
-                    if k in ("wq", "wk", "wv", "wo") else v)
-                for k, v in lp["attn"].items()}
-        mlp = {k: (decoder.quantize_dense_int8(v)
-                   if k in ("gate", "up", "down") else v)
-               for k, v in lp["mlp"].items()}
+        attn = {k: v for k, v in lp["attn"].items()
+                if k not in ("wq", "wk", "wv", "wo")}
+        attn["wqkv"] = decoder.quantize_dense_int8(jnp.concatenate(
+            [lp["attn"]["wq"], lp["attn"]["wk"], lp["attn"]["wv"]], axis=1))
+        attn["wo"] = decoder.quantize_dense_int8(lp["attn"]["wo"])
+        mlp = {k: v for k, v in lp["mlp"].items()
+               if k not in ("gate", "up", "down")}
+        mlp["gate_up"] = decoder.quantize_dense_int8(jnp.concatenate(
+            [lp["mlp"]["gate"], lp["mlp"]["up"]], axis=1))
+        mlp["down"] = decoder.quantize_dense_int8(lp["mlp"]["down"])
         return {**lp, "attn": attn, "mlp": mlp}
 
     tk = jax.random.split(key, cfg.num_layers + 3)
@@ -105,8 +112,10 @@ def test_fill_matches_unstacked_per_layer_values():
     tk = jax.random.split(jax.random.PRNGKey(0), cfg.num_layers + 3)
     for i in range(cfg.num_layers):
         lp = decoder.init_layer(cfg, tk[i + 1], dtype=jnp.float32)
-        want = decoder.quantize_dense_int8(lp["attn"]["wq"])
+        want = decoder.quantize_dense_int8(jnp.concatenate(
+            [lp["attn"]["wq"], lp["attn"]["wk"], lp["attn"]["wv"]], axis=1))
         got = jax.tree_util.tree_map(
             lambda x: x[i], built["layers"]["stacked"][0])
-        np.testing.assert_array_equal(np.asarray(got["attn"]["wq"]["w_int8"]),
-                                      np.asarray(want["w_int8"]))
+        np.testing.assert_array_equal(
+            np.asarray(got["attn"]["wqkv"]["w_int8"]),
+            np.asarray(want["w_int8"]))

@@ -240,7 +240,7 @@ def test_int8_quantized_decoder_close_to_float():
     params = decoder.init(cfg, jax.random.PRNGKey(0))
     qparams = dict(params)
     qparams = decoder.quantize_decoder_int8(params)
-    assert qparams["layers"][0]["attn"]["wq"]["w_int8"].dtype == jnp.int8
+    assert qparams["layers"][0]["attn"]["wqkv"]["w_int8"].dtype == jnp.int8
 
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
     h_f = decoder.forward(params, cfg, input_ids=ids).hidden
