@@ -27,9 +27,12 @@ path in tests/test_fused_align.py.
 
 Restrictions (asserted): align stage, scan_layers with a pre-stacked
 param tree, optimizer='adafactor', no LoRA, compute dtype == param
-storage dtype, and every trainable param inside the layer stack or the
-projector (embed / lm_head / final_norm / vision frozen — true for the
-record train set and every align recipe shipped).
+storage dtype, vision tower frozen, and no int8-quantized head when the
+head is trainable.  Trainable params may live in the layer stack, the
+(video) projector (head-section vjp), or embed / lm_head / final_norm
+(head- and tail-section vjps, gradients merged for tied embeddings) —
+so recipes that unfreeze the embedding or head don't fall off the
+fused-memory path.
 """
 
 from __future__ import annotations
@@ -79,17 +82,56 @@ def _check_supported(student_cfg: LlavaConfig, tcfg: TrainConfig, mask):
     # gradient buffer still never exists.
     assert student_cfg.llm.scan_layers, "fused step requires scan_layers"
     assert _DTYPES[tcfg.compute_dtype] is not None
-    # every trainable leaf must live in the layer stack or the projector:
-    # embed/head/final_norm/vision updates would need their own fused
-    # sections (none of the align recipes train them)
+    # trainable leaves may live in the layer stack, the (video) projector,
+    # or the fused head/tail sections (embed / lm_head / final_norm —
+    # differentiated through the head-embed and tail-loss vjps).  Only the
+    # vision tower stays frozen-only (true of every reference recipe:
+    # clip_encoder.py:31 never unfreezes it).
+    _OUTER = ("projector", "video_projector", "llm/embed", "llm/lm_head",
+              "llm/final_norm")
     def _flag(path, m):
         p = "/".join(str(getattr(q, "key", q)) for q in path)
-        if m and not (p.startswith("projector")
-                      or p.startswith("llm/layers")):
+        if m and not (p.startswith("llm/layers")
+                      or any(p.startswith(o) for o in _OUTER)):
             raise AssertionError(
-                f"fused align step cannot update '{p}' — only layer-stack "
-                f"and projector params are supported")
+                f"fused align step cannot update '{p}' — only layer-stack, "
+                f"(video) projector, embed, lm_head and final_norm params "
+                f"are supported")
     jax.tree_util.tree_map_with_path(_flag, mask)
+    if tcfg.student_head_quant and _head_trainable(student_cfg, mask):
+        raise AssertionError(
+            "student_head_quant with a TRAINABLE head: the int8 head "
+            "matmul's custom VJP skips dw entirely (ops/losses.py) — "
+            "unfreeze the head only with a float head")
+
+
+def _any(mask_sub) -> bool:
+    return any(jax.tree_util.tree_leaves(mask_sub))
+
+
+def _head_trainable(student_cfg: LlavaConfig, mask) -> bool:
+    """True when the LM head weight receives updates — an explicit lm_head,
+    or the tied embedding (decoder.lm_head_weight falls back to it)."""
+    lm = mask["llm"]
+    if "lm_head" in lm:
+        return _any(lm["lm_head"])
+    return student_cfg.llm.tie_word_embeddings and _any(lm.get("embed", ()))
+
+
+def _outer_sections(params, mask):
+    """The trainable params OUTSIDE the layer stack, split by LR group:
+    proj (projector + video_projector — mm_projector_lr) and extras
+    (llm embed / lm_head / final_norm — the main lr).  Extras subtrees with
+    no trainable leaf are excluded so their (possibly [V, D]-sized) vjps
+    are never built."""
+    proj = {k: params[k] for k in ("projector", "video_projector")
+            if k in params}
+    proj_mask = {k: mask[k] for k in proj}
+    extras = {k: params["llm"][k]
+              for k in ("embed", "lm_head", "final_norm")
+              if k in params["llm"] and _any(mask["llm"][k])}
+    extras_mask = {k: mask["llm"][k] for k in extras}
+    return proj, proj_mask, extras, extras_mask
 
 
 def init_fused_state(params, student_cfg: LlavaConfig,
@@ -118,8 +160,17 @@ def init_fused_state(params, student_cfg: LlavaConfig,
 
     opt_layers = [jax.tree_util.tree_map(init_stacked_leaf, s, ms)
                   for s, ms in zip(stacked, mask_stacked)]
-    opt_proj = adafactor.init_tree(params["projector"], mask["projector"])
-    opt_state = {"layers": opt_layers, "projector": opt_proj}
+    proj, proj_mask, extras, extras_mask = _outer_sections(params, mask)
+    opt_state = {
+        "layers": opt_layers,
+        "projector": adafactor.init_tree(proj["projector"],
+                                         proj_mask["projector"]),
+    }
+    if "video_projector" in proj:
+        opt_state["video_projector"] = adafactor.init_tree(
+            proj["video_projector"], proj_mask["video_projector"])
+    if extras:
+        opt_state["extras"] = adafactor.init_tree(extras, extras_mask)
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
 
@@ -273,17 +324,28 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                                    n_tc)
 
         # --- head section: embeddings + projector + splice, vjp'd wrt the
-        # projector (the only trainable params outside the layer stack) ---
+        # trainable params feeding the first layer: the (video) projector
+        # and, when trainable, the token embedding ---
         llm_p = params["llm"]
+        proj_sec, proj_mask_sec, extras, extras_mask = _outer_sections(
+            params, mask)
+        head_train = dict(proj_sec)
+        if "embed" in extras:
+            head_train["embed"] = extras["embed"]
 
-        def head_fn(proj_p):
-            tree = {"llm": llm_p, "projector": proj_p}
+        def head_fn(ht):
+            llm_h = dict(llm_p)
+            if "embed" in ht:
+                llm_h["embed"] = ht["embed"]
+            tree = {"llm": llm_h, "projector": ht["projector"]}
+            if "video_projector" in ht:
+                tree["video_projector"] = ht["video_projector"]
             if tower is None:
                 tree["vision"] = params["vision"]  # frozen (stop-grad inside)
             x0 = llava.multimodal_embed(tree, cfg, cbatch, tower)
             return decoder._seq_constraint(cfg.llm, x0)
 
-        x0, head_vjp = jax.vjp(head_fn, params["projector"])
+        x0, head_vjp = jax.vjp(head_fn, head_train)
 
         # --- forward scan over repeats ---
         # fused_remat == 'repeat': save each repeat's INPUT; the backward
@@ -343,39 +405,49 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             unroll=max(1, cfg.llm.scan_unroll))
         aux_total = jnp.sum(aux_per_rep)
 
-        # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last ---
+        # --- tail: final norm + chunked KD(+CE) loss, vjp wrt x_last and
+        # any trainable tail params (final_norm, the LM head weight) ---
+        head_w_train = _head_trainable(cfg, mask)
         w_s = llava.lm_head_weight(params, cfg)
         if tcfg.student_head_quant and not isinstance(w_s, dict):
+            # head quant + trainable head is refused in _check_supported
             w_s = jax.lax.stop_gradient(decoder.quantize_head_int8(w_s))
+        tail_train = {}
+        if "final_norm" in extras:
+            tail_train["final_norm"] = extras["final_norm"]
+        if head_w_train:
+            tail_train["head_w"] = w_s
 
-        def _one_microbatch_loss(hidden_m, labels_m, h_t_m):
+        def _one_microbatch_loss(hidden_m, labels_m, h_t_m, w):
             """Loss for one microbatch, normalized by ITS token count —
             the same numbers the M separate MultiSteps calls would see."""
             if tcfg.align_loss_type == "kd_lm":
                 fused = kd_ce_align_loss(
-                    hidden_m, w_s, h_t_m, w_t, labels_m,
+                    hidden_m, w, h_t_m, w_t, labels_m,
                     vocab_limit=vocab_limit,
                     distill_all_tokens=tcfg.distill_all_tokens,
                     chunk=tcfg.vocab_chunk)
                 return fused.kd_loss, fused.ce_loss, fused.kd_tokens
-            kd = kd_align_loss(hidden_m, w_s, h_t_m, w_t, labels_m,
+            kd = kd_align_loss(hidden_m, w, h_t_m, w_t, labels_m,
                                vocab_limit=vocab_limit,
                                distill_all_tokens=tcfg.distill_all_tokens,
                                chunk=tcfg.vocab_chunk)
             return kd.loss, jnp.zeros(()), kd.num_tokens
 
-        def tail_fn(xh):
-            hidden = decoder._norm(cfg.llm, llm_p["final_norm"], xh)
+        def tail_fn(xh, tt):
+            fn_p = tt.get("final_norm", llm_p["final_norm"])
+            w = tt.get("head_w", w_s)
+            hidden = decoder._norm(cfg.llm, fn_p, xh)
             if accum == 1:
                 kd_l, ce_l, ntok = _one_microbatch_loss(
-                    hidden, batch.labels, h_t)
+                    hidden, batch.labels, h_t, w)
                 return kd_l + ce_l, (kd_l, ce_l, ntok)
             # per-microbatch losses (lax.map = sequential scan, so the
             # chunked custom-VJP losses stream one microbatch at a time),
             # then MultiSteps' mean-of-gradients == mean of the losses
             mb = hidden.shape[0] // accum
             kd_l, ce_l, ntok = jax.lax.map(
-                lambda a: _one_microbatch_loss(*a),
+                lambda a: _one_microbatch_loss(*a, w),
                 (hidden.reshape(accum, mb, *hidden.shape[1:]),
                  batch.labels.reshape(accum, mb, batch.labels.shape[-1]),
                  h_t.reshape(accum, mb, *h_t.shape[1:])))
@@ -383,9 +455,9 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                 jnp.mean(kd_l), jnp.mean(ce_l), jnp.sum(ntok))
 
         loss_main, tail_vjp, aux_metrics = jax.vjp(tail_fn, x_last,
-                                                   has_aux=True)
+                                                   tail_train, has_aux=True)
         kd_loss, ce_loss, num_tokens = aux_metrics
-        (g_last,) = tail_vjp(jnp.ones((), loss_main.dtype))
+        (g_last, d_tail) = tail_vjp(jnp.ones((), loss_main.dtype))
 
         # --- backward scan (reverse): per-repeat vjp + in-place update ---
         aux_cot = jnp.asarray(coef, jnp.float32)
@@ -491,19 +563,53 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             (saved, jnp.arange(reps)), reverse=True,
             unroll=max(1, cfg.llm.scan_unroll))
 
-        # --- projector grads + update ---
-        (d_proj,) = head_vjp(g0)
-        gnorm_sq = gnorm_sq + _masked_sq_norm(d_proj, mask["projector"])
-        new_proj, new_proj_o = adafactor.update_tree(
-            params["projector"], d_proj, state.opt_state["projector"],
-            mask["projector"], count, proj_lr, **af_kw)
-
+        # --- outer grads + updates ---
+        (d_head,) = head_vjp(g0)
         new_params = dict(params)
-        new_params["projector"] = new_proj
         new_llm = dict(params["llm"])
         new_llm["layers"] = {"stacked": list(new_pstack)}
+        new_opt = {"layers": list(new_ostack)}
+
+        # (video) projector — the mm_projector_lr group
+        for k in proj_sec:
+            gnorm_sq = gnorm_sq + _masked_sq_norm(d_head[k],
+                                                  proj_mask_sec[k])
+            new_p_k, new_o_k = adafactor.update_tree(
+                proj_sec[k], d_head[k], state.opt_state[k],
+                proj_mask_sec[k], count, proj_lr, **af_kw)
+            new_params[k] = new_p_k
+            new_opt[k] = new_o_k
+
+        # embed / lm_head / final_norm — the main-lr group.  Grads merge
+        # across the two vjps: the embedding's lookup grad comes from the
+        # head section; with tied weights the tail's head-matmul dW lands
+        # on the embedding too.
+        if extras:
+            d_extras = {}
+            if "embed" in extras:
+                d_emb = dict(d_head["embed"])
+                if head_w_train and "lm_head" not in params["llm"]:
+                    d_emb["embedding"] = (d_emb["embedding"]
+                                          + d_tail["head_w"])
+                d_extras["embed"] = d_emb
+            if "final_norm" in extras:
+                d_extras["final_norm"] = d_tail["final_norm"]
+            if "lm_head" in extras:
+                # the align losses consume only the weight; a head bias
+                # never enters the loss, so its gradient is exactly zero
+                d_lm = {"weight": d_tail["head_w"]}
+                if "bias" in extras["lm_head"]:
+                    d_lm["bias"] = jnp.zeros_like(extras["lm_head"]["bias"])
+                d_extras["lm_head"] = d_lm
+            gnorm_sq = gnorm_sq + _masked_sq_norm(d_extras, extras_mask)
+            new_ex, new_ex_o = adafactor.update_tree(
+                extras, d_extras, state.opt_state["extras"], extras_mask,
+                count, lr, **af_kw)
+            for k, v in new_ex.items():
+                new_llm[k] = v
+            new_opt["extras"] = new_ex_o
+
         new_params["llm"] = new_llm
-        new_opt = {"layers": list(new_ostack), "projector": new_proj_o}
 
         loss = loss_main + coef * aux_total
         metrics: Metrics = {

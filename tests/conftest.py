@@ -60,7 +60,11 @@ if not os.environ.get("LLAVAMOD_TEST_NO_COMPILE_CACHE"):
 
     try:
         with open("/proc/cpuinfo") as f:
-            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+            _lines = f.readlines()
+        # flags AND model name: XLA's prefer-no-gather/scatter tuning
+        # depends on the detected CPU model, not just the feature flags
+        _flags = "".join(ln for ln in _lines
+                         if ln.startswith(("flags", "model name")))[:4096]
     except OSError:
         import platform
 

@@ -57,7 +57,9 @@ def test_adafactor_leaf_matches_optax():
             p = p_mine
 
 
-def _tiny_setup(reps, capacity_factor=1.5, gating_group=0):
+def _tiny_setup(reps, capacity_factor=1.5, gating_group=0,
+                train_modules=("/gate", "/up", "/down", "router"),
+                tie=False):
     """Tiny MoE student + dense teacher.  reps=1: moe_layers=[1] makes the
     structural period == num_layers; reps=2: 'sparse' every-2nd-layer.
     capacity_factor < 1.5 makes token drops likely (routing-semantics
@@ -68,7 +70,7 @@ def _tiny_setup(reps, capacity_factor=1.5, gating_group=0):
     llm = DecoderConfig(vocab_size=512, hidden_size=256,
                         intermediate_size=320, num_layers=n_layers,
                         num_heads=4, num_kv_heads=4, head_dim=64,
-                        scan_layers=True)
+                        scan_layers=True, tie_word_embeddings=tie)
     cfg = LlavaConfig(llm=llm, vision=vis, projector_type="mlp2x_gelu",
                       max_images=1)
     params = llava.init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -90,7 +92,7 @@ def _tiny_setup(reps, capacity_factor=1.5, gating_group=0):
                 k, layer["mlp"]["router"].shape, jnp.bfloat16)
     tcfg = TrainConfig(stage="align", align_loss_type="kd_lm",
                       optimizer="adafactor", learning_rate=1e-2,
-                      train_modules=("/gate", "/up", "/down", "router"),
+                      train_modules=train_modules,
                       total_steps=100, remat=False, vocab_chunk=256,
                       kd_vocab_limit=512, max_grad_norm=0.0)
     teacher = llava.init(cfg.replace(llm=llm), jax.random.PRNGKey(1),
@@ -161,6 +163,68 @@ def test_fused_step_matches_standard(reps, fused_remat):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(leaf, np.float32),
             err_msg=jax.tree_util.keystr(path), **tol)
+
+
+@pytest.mark.parametrize("tie", [False, True])
+def test_fused_step_trains_embed_head_final_norm(tie):
+    """The fused head/tail sections: unfreezing embed, lm_head and
+    final_norm (plus the usual FFN+router set) matches the standard
+    grad-then-update path — including the tied-embedding case, where the
+    tail's head-matmul dW merges into the embedding's lookup gradient."""
+    mods = ("/gate", "/up", "/down", "router", "embed", "final_norm")
+    if not tie:
+        mods = mods + ("lm_head",)
+    cfg, params, tcfg, teacher, batch = _tiny_setup(
+        2, train_modules=mods, tie=tie)
+    teacher_cfg = cfg.replace(llm=cfg.llm.replace(
+        moe_num_experts=0, moe_layers=()))
+    emb0 = np.asarray(params["llm"]["embed"]["embedding"], np.float32)
+
+    # 3 steps: the cosine schedule's 3-step warmup makes step 0's lr
+    # exactly 0 — one step would compare unmoved params against unmoved
+    # params and prove nothing
+    std_state = TrainState.create(params, tcfg)
+    std_step = make_align_step(cfg, teacher_cfg, tcfg)
+    for _ in range(3):
+        std_state, std_m = std_step(std_state, teacher, batch)
+
+    _, params2, *_ = _tiny_setup(2, train_modules=mods, tie=tie)
+    params2 = dict(params2)
+    params2["llm"] = decoder.stack_layers(cfg.llm, params2["llm"])
+    f_state = init_fused_state(params2, cfg, tcfg)
+    assert "extras" in f_state.opt_state
+    f_step = make_fused_align_step(cfg, teacher_cfg, tcfg)
+    for _ in range(3):
+        f_state, f_m = f_step(f_state, teacher, batch)
+
+    # after 2 prior updates the bf16 params differ by rounding order, so
+    # the step-3 losses agree to ~1e-3, not the single-step 1e-5
+    np.testing.assert_allclose(float(f_m["loss"]), float(std_m["loss"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(f_m["grad_norm"]),
+                               float(std_m["grad_norm"]), rtol=5e-2)
+
+    f_params = dict(f_state.params)
+    f_params["llm"] = decoder.unstack_layers(cfg.llm, f_state.params["llm"])
+    # the new sections actually moved
+    emb_f = np.asarray(f_params["llm"]["embed"]["embedding"], np.float32)
+    assert np.abs(emb_f - emb0).max() > 0
+    flat_fused = dict(jax.tree_util.tree_leaves_with_path(f_params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(std_state.params):
+        np.testing.assert_allclose(
+            np.asarray(flat_fused[path], np.float32),
+            np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_step_refuses_trainable_quantized_head():
+    cfg, params, tcfg, *_ = _tiny_setup(
+        1, train_modules=("/gate", "lm_head"))
+    tcfg = tcfg.replace(student_head_quant=True)
+    params = dict(params)
+    params["llm"] = decoder.stack_layers(cfg.llm, params["llm"])
+    with pytest.raises(AssertionError, match="int8 head"):
+        init_fused_state(params, cfg, tcfg)
 
 
 @pytest.mark.parametrize("reps,fused_remat", [
