@@ -142,10 +142,14 @@ def bench_pretrain():
     b = int(os.environ.get("BENCH_BATCH", "8"))       # pretrain.sh:40
     t = int(os.environ.get("BENCH_SEQ", "2048"))      # model_max_length
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    # remat ON by default: B=8 x T=2048 x 24 layers of un-rematerialized
-    # residuals is 29.4 GB on a 15.75 GB chip (measured OOM); with remat
-    # the recompute rides the dL/dx backward the frozen LLM already pays
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # Default: chunked in-step grad accumulation (grad_row_chunks=B) with
+    # remat OFF — per-row residuals (~3.7 GB) fit, so the ~2P full-remat
+    # recompute disappears.  BENCH_ROW_CHUNKS=1 BENCH_REMAT=1 reproduces
+    # the remat datapoint (B=8 x T=2048 un-rematerialized residuals are
+    # 29.4 GB on a 15.75 GB chip — the one-shot step MUST remat).
+    row_chunks = int(os.environ.get("BENCH_ROW_CHUNKS", str(b)))
+    remat = os.environ.get(
+        "BENCH_REMAT", "0" if row_chunks > 1 else "1") == "1"
     dtype = jnp.bfloat16
 
     llm = QWEN2_0_5B.replace(scan_layers=True)
@@ -153,7 +157,7 @@ def bench_pretrain():
                       projector_type="mlp2x_gelu", max_images=1)
     log(f"devices: {jax.devices()}")
     log(f"pretrain bench: qwen2-0.5b + CLIP-L-336, B={b} T={t} "
-        f"projector-only")
+        f"projector-only, row_chunks={row_chunks} remat={remat}")
     params = llava.init(cfg, jax.random.PRNGKey(0), dtype=dtype)
     params["llm"] = decoder.stack_layers(cfg.llm, params["llm"])
 
@@ -161,6 +165,7 @@ def bench_pretrain():
                        optimizer="adamw", learning_rate=1e-3,
                        warmup_ratio=0.03, lr_schedule="cosine",
                        compute_dtype="bfloat16", remat=remat,
+                       grad_row_chunks=row_chunks,
                        vocab_chunk=int(os.environ.get("BENCH_CHUNK", "2048")),
                        total_steps=10_000, max_grad_norm=1.0)
     state = TrainState.create(params, tcfg)

@@ -103,6 +103,12 @@ class TrainArgs:
     # MoE models exact per-microbatch semantics additionally need
     # moe_gating_group_size to divide the microbatch token count.
     fused_update: bool = False
+    # pretrain/SFT-only: split the batch into N row chunks inside the step
+    # and sum token-weighted per-chunk gradients (exact full-batch grads) —
+    # cuts residual memory to chunk size so big-batch frozen-body configs
+    # can run with --remat false instead of paying full recompute
+    # (train/config.py grad_row_chunks).  0/1 = off; must divide the batch.
+    grad_row_chunks: int = 1
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03
     lr_scheduler_type: str = "cosine"
@@ -270,6 +276,7 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
         lr_schedule=targs.lr_scheduler_type,
         total_steps=max(1, total_steps // accum),
         grad_accum_steps=targs.gradient_accumulation_steps,
+        grad_row_chunks=targs.grad_row_chunks,
         seed=targs.seed,
         stage=stage,
         moe_finetune=targs.moe_finetune,

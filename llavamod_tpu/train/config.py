@@ -89,6 +89,18 @@ class TrainConfig:
     # forward scan.  Exact when gating groups tile the chunk (the same
     # mb_gating_exact condition).  -1 = auto; 0/1 = off; N = chunk count.
     fused_fwd_chunks: int = -1
+    # In-step chunked gradient accumulation for the STANDARD (non-fused)
+    # pretrain/SFT step: split the batch into N row chunks, run each
+    # chunk's forward+backward sequentially (lax.scan) and sum the
+    # token-weighted gradients — EXACT full-batch gradients (CE chunks
+    # combine by token count; the MoE aux loss by chunk mean, legal when
+    # gating groups tile the chunk, else auto-disabled).  The point is
+    # MEMORY: per-chunk residuals replace the full-batch residual working
+    # set, so big-batch frozen-body configs (stage-1: B=8 T=2048 residuals
+    # measured 29.4 GB on a 15.75 GB v5e) can turn full rematerialization
+    # OFF instead — trading the ~2P recompute for a small sequential scan.
+    # 0/1 = off; N must divide the batch.
+    grad_row_chunks: int = 1
     vocab_chunk: int = 2048  # sweep on v5e: 2048 best (BENCH_NOTES.md)
     attn_impl: str = "auto"                    # auto | flash | xla
     # Run the frozen vision tower once per step and feed both teacher and

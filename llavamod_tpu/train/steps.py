@@ -170,9 +170,44 @@ def _moe_metrics(out, cfg: LlavaConfig) -> Metrics:
 # stage 1 / SFT
 # ---------------------------------------------------------------------------
 
+def _stack_row_chunks(batch: MultimodalBatch, n_ck: int,
+                      rows_per_sample: int) -> MultimodalBatch:
+    """[B, ...] fields -> stacked [n_ck, B/n_ck, ...] chunk batches.
+
+    image_pos indexes the batch-global flat media table (the collator adds
+    sample_row * rows_per_sample, data/collator.py) — each chunk's table
+    starts rows * rows_per_sample further in, so re-offset per chunk (the
+    inverse of train/loader.py::fold_microbatches)."""
+    b = batch.input_ids.shape[0]
+    rows = b // n_ck
+
+    def r(x):
+        return None if x is None else x.reshape((n_ck, rows) + x.shape[1:])
+
+    ipos = r(batch.image_pos)
+    off = (jnp.arange(n_ck, dtype=ipos.dtype)
+           * rows * rows_per_sample)[:, None, None]
+    return batch._replace(
+        input_ids=r(batch.input_ids), segment_ids=r(batch.segment_ids),
+        image_mask=r(batch.image_mask), image_pos=ipos - off,
+        pixels=r(batch.pixels), pixel_valid=r(batch.pixel_valid),
+        labels=r(batch.labels), positions=r(batch.positions),
+        video_pixels=r(batch.video_pixels), video_valid=r(batch.video_valid))
+
+
+def _ce_token_counts(stacked_labels: jnp.ndarray,
+                     ignore_index: int = -100) -> jnp.ndarray:
+    """[n_ck] per-chunk counts matching softmax_cross_entropy's denom
+    (next-token shift, labels != ignore_index, floored at 1)."""
+    mask = (stacked_labels[:, :, 1:] != ignore_index)
+    return jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=(1, 2)), 1.0)
+
+
 def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
                        lora_cfg=None) -> Callable:
     opt = build_optimizer_cached(tcfg, lora_cfg)
+    coef = (cfg.llm.router_aux_loss_coef
+            if (cfg.llm.is_moe and tcfg.moe_loss_enable) else 0.0)
 
     def loss_fn(params, batch: MultimodalBatch):
         params = _stop_frozen(params, tcfg, lora_cfg)
@@ -188,14 +223,77 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
         metrics["loss"] = loss
         return loss, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch: MultimodalBatch) -> Tuple[TrainState, Metrics]:
-        (_, metrics), grads = _grad_fn(loss_fn)(state.params, batch)
+    def chunk_term(params, cb: MultimodalBatch, w_ce, w_aux):
+        """Scalar whose per-chunk gradients SUM to the full-batch gradient:
+        w_ce * ce_mean_chunk + w_aux * aux_chunk, with w_ce = the chunk's
+        CE token share (constant wrt params) and w_aux = coef / n_chunks
+        (the folded aux is the mean over equal-row chunks)."""
+        params = _stop_frozen(params, tcfg, lora_cfg)
+        out, w_head = _student_forward(params, cfg, cb, tcfg, lora_cfg)
+        ce = softmax_cross_entropy(out.hidden, w_head, cb.labels,
+                                   chunk=tcfg.vocab_chunk)
+        aux = out.aux_loss if cfg.llm.is_moe else jnp.zeros((), jnp.float32)
+        return w_ce * ce.loss + w_aux * aux, (ce.loss, aux)
+
+    def chunked_grads(params, batch: MultimodalBatch, n_ck: int):
+        rps = cfg.max_images * cfg.num_image_tokens
+        if cfg.video_projector_type is not None:
+            rps += cfg.num_video_tokens
+        stacked = _stack_row_chunks(batch, n_ck, rps)
+        ntok = _ce_token_counts(stacked.labels)
+        n_total = jnp.maximum(jnp.sum(ntok), 1.0)
+        w_ces = ntok / n_total
+        w_aux = jnp.asarray(coef / n_ck, jnp.float32)
+        run = _grad_fn(chunk_term)
+
+        take = lambda tree, i: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x[i], tree)
+        (t0, (ce0, aux0)), g0 = run(params, take(stacked, 0), w_ces[0],
+                                    w_aux)
+
+        def body(carry, xs):
+            g_sum, loss_sum, ce_sum, aux_sum = carry
+            cb, w_ce, n_c = xs
+            (t_c, (ce_c, aux_c)), g_c = run(params, cb, w_ce, w_aux)
+            return (jax.tree_util.tree_map(jnp.add, g_sum, g_c),
+                    loss_sum + t_c, ce_sum + ce_c * n_c,
+                    aux_sum + aux_c), None
+
+        tail = jax.tree_util.tree_map(lambda x: x[1:], stacked)
+        (grads, loss, ce_sum, aux_sum), _ = jax.lax.scan(
+            body, (g0, t0, ce0 * ntok[0], aux0),
+            (tail, w_ces[1:], ntok[1:]))
+        metrics: Metrics = {"loss/lm": ce_sum / n_total,
+                            "num_tokens": n_total, "loss": loss}
+        if cfg.llm.is_moe and tcfg.moe_loss_enable:
+            metrics["loss/moe_balance"] = aux_sum / n_ck
+        return metrics, grads
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def _step(state: TrainState, batch: MultimodalBatch,
+              n_ck: int) -> Tuple[TrainState, Metrics]:
+        if n_ck > 1:
+            metrics, grads = chunked_grads(state.params, batch, n_ck)
+        else:
+            (_, metrics), grads = _grad_fn(loss_fn)(state.params, batch)
         updates, new_opt = opt(state.params).update(grads, state.opt_state,
                                                     state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(state.step + 1, params, new_opt), metrics
+
+    def step(state: TrainState,
+             batch: MultimodalBatch) -> Tuple[TrainState, Metrics]:
+        b, t = batch.input_ids.shape
+        n_ck = tcfg.grad_row_chunks
+        n_ck = n_ck if (n_ck > 1 and b % n_ck == 0) else 1
+        if n_ck > 1 and cfg.llm.is_moe:
+            # same exactness rule as the fused path: chunked routing ==
+            # folded routing only when gating groups tile the chunk
+            group = cfg.llm.moe_gating_group_size
+            if not (group > 0 and ((b // n_ck) * t) % group == 0):
+                n_ck = 1
+        return _step(state, batch, n_ck)
 
     return step
 
