@@ -358,7 +358,8 @@ def bench_dpo():
                 f"set + adafactor, dense 1.8b ref"
                 + (" int8-W8A8" if ref_quant.startswith("int8") else "")
                 + f", B={b}, T={t}, 2-forward step)",
-        "vs_baseline": round(mfu / 0.40, 3),
+        "vs_baseline": round(mfu_dtype / 0.40, 3),
+        "vs_baseline_bf16_peak": round(mfu / 0.40, 3),
         "mfu_bf16_peak": round(mfu, 3),
         "mfu_dtype_aware": round(mfu_dtype, 3),
     }))
@@ -888,7 +889,11 @@ def bench_distill(cfg_name: str = "default"):
                 + (", adafactor" if opt_name == "adafactor" else "")
                 + (f", accum={accum} in-batch" if accum > 1 else "")
                 + ")",
-        "vs_baseline": round(mfu / 0.40, 3),
+        # HONEST headline: dtype-aware MFU (int8 matmuls charged their real
+        # 394 TF/s peak) vs the 0.40 BASELINE.md target; bf16-peak ratio
+        # kept alongside for context.
+        "vs_baseline": round(mfu_dtype / 0.40, 3),
+        "vs_baseline_bf16_peak": round(mfu / 0.40, 3),
         "mfu_bf16_peak": round(mfu, 3),
         "mfu_dtype_aware": round(mfu_dtype, 3),
     }))

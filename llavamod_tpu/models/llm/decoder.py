@@ -410,13 +410,15 @@ def quantize_decoder_int8(params: Params,
     for layer in params["layers"]:
         layer = dict(layer)
         attn = dict(layer["attn"])
-        if fuse and all(not isinstance(attn.get(k), dict)
-                        for k in ("wq", "wk", "wv")):
+        if (fuse and "wqkv" not in attn
+                and all(k in attn and not isinstance(attn[k], dict)
+                        for k in ("wq", "wk", "wv"))):
             attn["wqkv"] = quantize_dense_int8(jnp.concatenate(
                 [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")], axis=1))
         else:
+            # idempotent: skip keys already fused away or already int8
             for k in ("wq", "wk", "wv"):
-                if not isinstance(attn[k], dict):
+                if k in attn and not isinstance(attn[k], dict):
                     attn[k] = quantize_dense_int8(attn[k])
         if not isinstance(attn["wo"], dict):
             attn["wo"] = quantize_dense_int8(attn["wo"])

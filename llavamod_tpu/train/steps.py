@@ -197,10 +197,12 @@ def _stack_row_chunks(batch: MultimodalBatch, n_ck: int,
 
 def _ce_token_counts(stacked_labels: jnp.ndarray,
                      ignore_index: int = -100) -> jnp.ndarray:
-    """[n_ck] per-chunk counts matching softmax_cross_entropy's denom
-    (next-token shift, labels != ignore_index, floored at 1)."""
+    """[n_ck] per-chunk RAW supervised-token counts (next-token shift,
+    labels != ignore_index).  Deliberately unfloored: an empty chunk's CE
+    is 0 with zero gradient, so its weight must be 0 — flooring at 1 would
+    scale every gradient by N/(N+n_empty) vs the one-shot step."""
     mask = (stacked_labels[:, :, 1:] != ignore_index)
-    return jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=(1, 2)), 1.0)
+    return jnp.sum(mask.astype(jnp.float32), axis=(1, 2))
 
 
 def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
@@ -248,8 +250,6 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
 
         take = lambda tree, i: jax.tree_util.tree_map(  # noqa: E731
             lambda x: x[i], tree)
-        (t0, (ce0, aux0)), g0 = run(params, take(stacked, 0), w_ces[0],
-                                    w_aux)
 
         def body(carry, xs):
             g_sum, loss_sum, ce_sum, aux_sum = carry
@@ -259,10 +259,16 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
                     loss_sum + t_c, ce_sum + ce_c * n_c,
                     aux_sum + aux_c), None
 
-        tail = jax.tree_util.tree_map(lambda x: x[1:], stacked)
+        # seed the carry with zeros shaped via eval_shape so the per-chunk
+        # forward+backward (the heaviest region) is traced/compiled ONCE in
+        # the scan body instead of twice (unrolled chunk 0 + scan)
+        _, g_shapes = jax.eval_shape(run, params, take(stacked, 0),
+                                     w_ces[0], w_aux)
+        g0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), g_shapes)
+        zero = jnp.zeros((), jnp.float32)
         (grads, loss, ce_sum, aux_sum), _ = jax.lax.scan(
-            body, (g0, t0, ce0 * ntok[0], aux0),
-            (tail, w_ces[1:], ntok[1:]))
+            body, (g0, zero, zero, zero), (stacked, w_ces, ntok))
         metrics: Metrics = {"loss/lm": ce_sum / n_total,
                             "num_tokens": n_total, "loss": loss}
         if cfg.llm.is_moe and tcfg.moe_loss_enable:

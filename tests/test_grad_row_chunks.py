@@ -135,3 +135,23 @@ def test_moe_global_gating_falls_back_to_full_batch():
         got = dict(jax.tree_util.tree_leaves_with_path(p_ck))[path]
         np.testing.assert_array_equal(np.asarray(got), np.asarray(leaf),
                                       err_msg=jax.tree_util.keystr(path))
+
+
+def test_chunked_empty_chunk_is_exact():
+    """A chunk whose rows carry ZERO supervised tokens must contribute zero
+    weight — not a floored count of 1 that rescales every other chunk's
+    gradient and inflates num_tokens (advisor round-4 finding)."""
+    cfg, params, tcfg = _setup()
+    d = _batch(13)
+    d["labels"][2:4, :] = -100  # second chunk (rows 2-3) fully unsupervised
+    batch = batch_from_arrays(d)
+    p_full, m_full = _one_step(cfg, params, tcfg, batch)
+    p_ck, m_ck = _one_step(cfg, params, tcfg.replace(grad_row_chunks=2),
+                           batch)
+    assert m_ck["num_tokens"] == m_full["num_tokens"]
+    np.testing.assert_allclose(m_ck["loss"], m_full["loss"], rtol=1e-5)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p_full):
+        got = dict(jax.tree_util.tree_leaves_with_path(p_ck))[path]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(leaf, np.float32),
+            rtol=1e-3, atol=2.5e-4, err_msg=jax.tree_util.keystr(path))

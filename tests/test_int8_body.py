@@ -289,3 +289,18 @@ class TestFusedInt8Layout:
         # row scale across the fused width vs one per projection) — the
         # STE estimates agree in direction, not bit-for-bit
         assert cos > 0.99, cos
+
+    def test_requantize_is_idempotent(self):
+        """Re-calling quantize_decoder_int8 on an already-quantized tree
+        (fused or unfused) must be a no-op, not a KeyError: the fuse guard
+        treats MISSING wq/wk/wv as already handled (advisor round-4
+        finding), and int8 dict leaves are skipped."""
+        cfg, params = self._cfg_params()
+        for fuse_first in (True, False):
+            q1 = decoder.quantize_decoder_int8(params, fuse=fuse_first)
+            q2 = decoder.quantize_decoder_int8(q1, fuse=True)  # re-call
+            ids = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0,
+                                     cfg.vocab_size)
+            h1 = decoder.forward(q1, cfg, input_ids=ids, train=True).hidden
+            h2 = decoder.forward(q2, cfg, input_ids=ids, train=True).hidden
+            np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

@@ -87,6 +87,14 @@ def ref_trainer_mod():
     moe = stub("deepspeed.moe")
     lay = stub("deepspeed.moe.layer", MoE=MoE)
     ds.moe, moe.layer = moe, lay
+    # llava_trainer's maybe_zero_3 imports these at call time (no-ops when
+    # params carry no ds_id, i.e. always here)
+    ds.zero = stub("deepspeed.zero", GatheredParameters=None)
+    rt = stub("deepspeed.runtime")
+    rtz = stub("deepspeed.runtime.zero")
+    rt.zero = rtz
+    rtz.partition_parameters = stub(
+        "deepspeed.runtime.zero.partition_parameters", ZeroParamStatus=object)
     stub("sentencepiece", SentencePieceProcessor=SPP)
 
     if REFERENCE not in sys.path:
@@ -115,6 +123,7 @@ def ref_trainer_mod():
 
     import llavamod.train.align_trainer as at
     import llavamod.train.dpo_trainer as dt
+    import llavamod.train.llava_trainer as lt
     from llavamod.config.args import TrainingArguments
     from llavamod.model.language_model.llava_qwen1_5 import (
         LlavaQwen1_5Config,
@@ -123,6 +132,7 @@ def ref_trainer_mod():
 
     return types.SimpleNamespace(
         AlignTrainer=at.AlignTrainer, DPOTrainer=dt.DPOTrainer,
+        LLaVATrainer=lt.LLaVATrainer,
         TrainingArguments=TrainingArguments,
         model_cls=LlavaQwen1_5ForCausalLM, cfg_cls=LlavaQwen1_5Config)
 
@@ -461,3 +471,260 @@ def test_dpo_loss_trajectory_matches_reference_trainer(
             np.array([m[ours_k] for m in ours]),
             np.array([h[ref_k] for h in ref]), rtol=2e-3, atol=2e-3,
             err_msg=ours_k)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: reference LLaVATrainer (llava_trainer.py:152-275) vs our
+# make_pretrain_step + per-group optimizer (train/optim.py)
+# ---------------------------------------------------------------------------
+
+# tiny CLIP tower: (28/14)^2 = 4 patch tokens per image
+P1, TT1 = 4, 29              # patches; pre-splice text length (one <image>)
+L1 = TT1 - 1 + P1            # post-splice length = 32
+STEPS1, WARMUP1 = 12, 0.25   # 12*0.25 = 3 warmup steps (integral: HF uses
+                             # ceil, we use int — only equal when exact)
+BASE_LR, PROJ_LR = 1e-3, 5e-4
+
+
+def _stage1_setup(mod, tmp_path, tune_adapter):
+    """Reference model with a real (tiny, local) CLIP tower + projector,
+    frozen exactly as train/train.py:478-481 does for stage 1."""
+    import transformers as hf
+
+    clip_dir = str(tmp_path / "openai-tiny-clip")  # 'openai' => CLIP branch
+    hf_vcfg = hf.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        hidden_act="quick_gelu", layer_norm_eps=1e-5)
+    torch.manual_seed(5)
+    clip = hf.CLIPVisionModel(hf_vcfg)
+    clip.save_pretrained(clip_dir)
+    hf.CLIPImageProcessor().save_pretrained(clip_dir)
+
+    student = _tiny_ref_model(mod, 0)
+    margs = types.SimpleNamespace(
+        image_tower=clip_dir, video_tower=None, mm_vision_select_layer=-2,
+        mm_vision_select_feature="patch", pretrain_mm_mlp_adapter=None,
+        image_projector_type="mlp2x_gelu", video_projector_type=None,
+        video_global_proj=None, video_temproal_proj=None,
+        video_spatial_proj=None, s2=False)
+    student.get_model().initialize_vision_modules(margs)
+    student.config.tune_mm_mlp_adapter = tune_adapter
+    if tune_adapter:
+        student.requires_grad_(False)
+        for p in student.get_model().mm_projector.parameters():
+            p.requires_grad = True
+    else:
+        student.get_model().image_tower.requires_grad_(False)
+    return student
+
+
+def _stage1_arrays():
+    """One batch in BOTH layouts: the reference's pre-splice ids (with
+    IMAGE_TOKEN_INDEX=-200 at a per-row position) and our static
+    post-splice layout (image_mask/image_pos slots), plus shared pixels."""
+    rng = np.random.RandomState(3)
+    text = rng.randint(5, 500, (B, TT1)).astype(np.int64)
+    img_at = np.array([1 + b for b in range(B)])  # varies per row
+
+    ref_ids = text.copy()
+    ref_labels = text.copy()
+    for b in range(B):
+        ref_ids[b, img_at[b]] = -200
+        ref_labels[b, img_at[b]] = -100
+        ref_labels[b, :min(4 + b, TT1)] = -100  # ragged instruction prefix
+
+    ids = np.zeros((B, L1), np.int32)
+    labels = np.full((B, L1), -100, np.int32)
+    image_mask = np.zeros((B, L1), bool)
+    image_pos = np.zeros((B, L1), np.int32)
+    for b in range(B):
+        p = img_at[b]
+        ids[b, :p] = text[b, :p]
+        ids[b, p + P1:] = text[b, p + 1:]
+        image_mask[b, p:p + P1] = True
+        image_pos[b, p:p + P1] = b * P1 + np.arange(P1)
+        lab = ref_labels[b]
+        labels[b, :p] = lab[:p]
+        labels[b, p + P1:] = lab[p + 1:]
+    pixels = rng.randn(B, 1, 3, 28, 28).astype(np.float32)
+    return ref_ids, ref_labels, ids, labels, image_mask, image_pos, pixels
+
+
+def _stage1_ref_trajectory(mod, student, ref_ids, ref_labels, pixels,
+                           tmp_path, tune_adapter):
+    """Drive the reference LLaVATrainer's real Trainer.train loop (its
+    per-group create_optimizer + adapter-only _save_checkpoint)."""
+    data = [dict(input_ids=torch.tensor(ref_ids[i]),
+                 labels=torch.tensor(ref_labels[i]),
+                 attention_mask=torch.ones(TT1, dtype=torch.long),
+                 image=torch.tensor(pixels[i, 0]))
+            for i in range(B)]
+
+    class DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            return data[i]
+
+    def collate(feats):
+        out = {k: torch.stack([f[k] for f in feats])
+               for k in ("input_ids", "labels", "attention_mask")}
+        # reference collator shape: batch['images'] is a flat LIST of
+        # [3,H,W] tensors (data/dataset.py:211-226)
+        out["images"] = [f["image"] for f in feats]
+        return out
+
+    args = mod.TrainingArguments(
+        output_dir=str(tmp_path / "ref_s1_out"),
+        per_device_train_batch_size=B, max_steps=STEPS1,
+        learning_rate=BASE_LR, mm_projector_lr=PROJ_LR,
+        weight_decay=0.0, warmup_ratio=WARMUP1,
+        lr_scheduler_type="cosine", max_grad_norm=1.0, logging_steps=1,
+        save_strategy="steps" if tune_adapter else "no", save_steps=6,
+        report_to=[], use_cpu=True, seed=0, remove_unused_columns=False,
+        dataloader_num_workers=0)
+    args.moe_enable = False
+    args.tune_mm_mlp_adapter = tune_adapter
+
+    class Shim(mod.LLaVATrainer):
+        """transformers-4.57 call-signature adapter ONLY."""
+
+        def _get_train_sampler(self, dataset=None):  # 4.52+ passes dataset
+            return mod.LLaVATrainer._get_train_sampler(self)
+
+    trainer = Shim(model=student, args=args, data_collator=collate,
+                   train_dataset=DS())
+    trainer.train()
+    hist = [h for h in trainer.state.log_history if "loss" in h]
+    assert len(hist) == STEPS1
+    return hist
+
+
+def _stage1_our_trajectory(student, arrays, tune_adapter):
+    """Same weights/batch through make_pretrain_step + the per-group
+    optimizer (train/optim.py mirrors llava_trainer.py:152-239)."""
+    from llavamod_tpu.interop.hf import (
+        decoder_config_from_hf,
+        decoder_params_from_hf,
+        projector_params_from_hf,
+        vision_params_from_hf,
+    )
+    from llavamod_tpu.models import llava
+    from llavamod_tpu.models.llava import LlavaConfig
+    from llavamod_tpu.models.vision.vit import VisionConfig
+    from llavamod_tpu.train.config import TrainConfig
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import batch_from_arrays, make_pretrain_step
+
+    _, _, ids, labels, image_mask, image_pos, pixels = arrays
+    dcfg = decoder_config_from_hf(student.config)
+    vcfg = VisionConfig(name="openai-tiny-clip", image_size=28, patch_size=14,
+                        hidden_size=32, intermediate_size=64, num_layers=3,
+                        num_heads=4, patch_bias=False)
+    cfg = LlavaConfig(llm=dcfg, vision=vcfg, projector_type="mlp2x_gelu",
+                      max_images=1, select_layer=-2, select_feature="patch")
+    params = llava.init(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params["llm"] = decoder_params_from_hf(dict(student.state_dict()), dcfg)
+    params["vision"] = vision_params_from_hf(
+        dict(student.get_model().image_tower.image_tower.state_dict()), vcfg)
+    params["projector"] = projector_params_from_hf(
+        dict(student.get_model().mm_projector.state_dict()), "mlp2x_gelu")
+
+    batch = batch_from_arrays({
+        "input_ids": ids, "segment_ids": np.ones((B, L1), np.int32),
+        "image_mask": image_mask, "image_pos": image_pos,
+        "pixels": pixels, "pixel_valid": np.ones((B, 1), bool),
+        "labels": labels})
+
+    tcfg = TrainConfig(
+        stage="pretrain", optimizer="adamw", learning_rate=BASE_LR,
+        mm_projector_lr=PROJ_LR, tune_mm_mlp_adapter=tune_adapter,
+        weight_decay=0.0, warmup_ratio=WARMUP1, lr_schedule="cosine",
+        total_steps=STEPS1, max_grad_norm=1.0, compute_dtype="float32",
+        remat=False, vocab_chunk=512, moe_loss_enable=False)
+    state = TrainState.create(params, tcfg)
+    step = make_pretrain_step(cfg, tcfg)
+    out = []
+    for _ in range(STEPS1):
+        state, metrics = step(state, batch)
+        out.append({k: float(v) for k, v in metrics.items()})
+    return out, state
+
+
+def test_stage1_projector_pretrain_trajectory_and_adapter_save(
+        ref_trainer_mod, tmp_path):
+    """12 steps of projector-only pretrain (tune_mm_mlp_adapter) with the
+    mm_projector_lr per-group override, pinned against the reference's OWN
+    LLaVATrainer under Trainer.train — incl. the real multimodal splice +
+    frozen CLIP tower + projector gradients — plus the adapter-only
+    checkpoint flavor (llava_trainer.py:256-275) byte-key parity."""
+    mod = ref_trainer_mod
+    student = _stage1_setup(mod, tmp_path, tune_adapter=True)
+    arrays = _stage1_arrays()
+    ref_ids, ref_labels = arrays[0], arrays[1]
+
+    ours, final_state = _stage1_our_trajectory(student, arrays, True)
+    ref = _stage1_ref_trajectory(mod, student, ref_ids, ref_labels,
+                                 arrays[6], tmp_path, True)
+
+    ref_losses = np.array([h["loss"] for h in ref])
+    our_losses = np.array([m["loss"] for m in ours])
+    # only the tiny projector trains — slow but must move measurably
+    assert ref_losses[-1] < ref_losses[0] - 0.005, ref_losses
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1.5e-3,
+                               err_msg="stage-1 loss trajectories")
+    np.testing.assert_allclose(
+        np.array([m["grad_norm"] for m in ours]),
+        np.array([h["grad_norm"] for h in ref]), rtol=3e-2)
+
+    # adapter-only checkpoints: ONLY config + mm_projector.bin, whose keys
+    # are the full reference param names
+    import os
+
+    for step_no in (6, 12):
+        ck = tmp_path / "ref_s1_out" / f"checkpoint-{step_no}"
+        files = set(os.listdir(ck))
+        assert "mm_projector.bin" in files, files
+        assert not any(f.startswith(("model", "pytorch_model"))
+                       for f in files), files
+    ref_sd = torch.load(tmp_path / "ref_s1_out" / "checkpoint-12" /
+                        "mm_projector.bin", weights_only=True)
+    assert all("mm_projector" in k for k in ref_sd)
+
+    # our adapter export after the SAME 12 steps: byte-identical key set,
+    # values within trajectory tolerance
+    from llavamod_tpu.train.checkpoint import save_mm_projector
+
+    ours_bin = str(tmp_path / "ours_mm_projector.bin")
+    save_mm_projector(ours_bin, final_state.params["projector"])
+    our_sd = torch.load(ours_bin, weights_only=True)
+    assert set(our_sd) == set(ref_sd), (set(our_sd), set(ref_sd))
+    for k in ref_sd:
+        np.testing.assert_allclose(
+            our_sd[k].float().numpy(), ref_sd[k].float().numpy(),
+            rtol=5e-3, atol=5e-5, err_msg=k)
+
+
+def test_stage1_full_sft_mixed_lr_trajectory(ref_trainer_mod, tmp_path):
+    """Full SFT (everything trainable but the tower) with mm_projector_lr
+    DIFFERENT from the base lr: all four reference optimizer groups
+    (decay/no-decay x projector/rest, llava_trainer.py:169-201) are
+    non-empty and the two LRs must land on the right params."""
+    mod = ref_trainer_mod
+    student = _stage1_setup(mod, tmp_path, tune_adapter=False)
+    arrays = _stage1_arrays()
+
+    ours, _ = _stage1_our_trajectory(student, arrays, False)
+    ref = _stage1_ref_trajectory(mod, student, arrays[0], arrays[1],
+                                 arrays[6], tmp_path, False)
+
+    ref_losses = np.array([h["loss"] for h in ref])
+    our_losses = np.array([m["loss"] for m in ours])
+    assert ref_losses[-1] < ref_losses[0] - 0.05, ref_losses
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1.5e-3,
+                               err_msg="stage-1 full-SFT loss trajectories")
+    np.testing.assert_allclose(
+        np.array([m["grad_norm"] for m in ours]),
+        np.array([h["grad_norm"] for h in ref]), rtol=3e-2)
