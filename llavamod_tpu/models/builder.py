@@ -186,8 +186,14 @@ def load_pretrained_model(model_path: str,
 
     import transformers
 
+    from llavamod_tpu.interop.tiktoken_tokenizers import load_tiktoken_tokenizer
+
     tok_path = tokenizer_path or model_path
-    tokenizer = transformers.AutoTokenizer.from_pretrained(tok_path)
+    # qwen-1.0 / stablelm checkpoints carry a *.tiktoken vocab — load it
+    # self-contained instead of requiring trust_remote_code artifacts
+    tokenizer = load_tiktoken_tokenizer(tok_path)
+    if tokenizer is None:
+        tokenizer = transformers.AutoTokenizer.from_pretrained(tok_path)
     return tokenizer, params, cfg, make_image_preprocessor(cfg), context_len
 
 

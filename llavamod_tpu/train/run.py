@@ -798,6 +798,13 @@ def load_tokenizer(margs: ModelArgs):
     import transformers
 
     path = margs.model_name_or_path
+    # self-contained tiktoken families (qwen-1.0 / stablelm arcade100k):
+    # the checkpoint's *.tiktoken vocab is enough, no trust_remote_code
+    from llavamod_tpu.interop.tiktoken_tokenizers import load_tiktoken_tokenizer
+
+    tok = load_tiktoken_tokenizer(path)
+    if tok is not None:
+        return tok
     tok = transformers.AutoTokenizer.from_pretrained(path)
     if tok.pad_token is None and tok.unk_token is not None:
         tok.pad_token = tok.unk_token  # reference pad fixups train.py:365-385
