@@ -165,8 +165,10 @@ def bench_pretrain():
                        optimizer="adamw", learning_rate=1e-3,
                        warmup_ratio=0.03, lr_schedule="cosine",
                        compute_dtype="bfloat16", remat=remat,
-                       grad_row_chunks=row_chunks,
-                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "2048")),
+                       # sweep (round-5): 8192 > 2048/16384/38400 on this
+                       # config — the row-chunked CE amortizes the scan's
+                       # fixed overhead over bigger [2048, C] chunk matmuls
+                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "8192")),
                        total_steps=10_000, max_grad_norm=1.0)
     state = TrainState.create(params, tcfg)
     step = make_pretrain_step(cfg, tcfg)
@@ -252,9 +254,11 @@ def bench_dpo():
     vis_cfg = CLIP_VIT_L_336
 
     log(f"devices: {jax.devices()}")
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
     log(f"dpo bench: 1.8b-MoE policy vs dense 1.8b ref "
-        f"({ref_quant or 'bf16'}), B={b} T={t} kto_pair remat={remat}")
-    base = QWEN1_5_1_8B.replace(scan_layers=True)
+        f"({ref_quant or 'bf16'}), B={b} T={t} kto_pair remat={remat} "
+        f"policy={remat_policy}")
+    base = QWEN1_5_1_8B.replace(scan_layers=True, remat_policy=remat_policy)
     pol_cfg = LlavaConfig(llm=base, vision=vis_cfg,
                           projector_type="mlp2x_gelu", max_images=1)
     params = llava.init(pol_cfg, jax.random.PRNGKey(0), dtype=dtype)
@@ -263,6 +267,17 @@ def bench_dpo():
                                   capacity_factor=1.5,
                                   eval_capacity_factor=2.0)
     pol_cfg = pol_cfg.replace(llm=moe_cfg.replace(moe_gating_group_size=1024))
+    # the record train set (FFN + router) freezes policy attention, LM head
+    # and embedding — the same int8-W8A8 trick as the flagship align bench
+    # applies: frozen halves on the int8 MXU, STE dL/dx, trainable FFNs
+    # stay bf16.  BENCH_POLICY_ATTN_QUANT=0 restores the all-bf16 policy.
+    pol_attn_quant = os.environ.get("BENCH_POLICY_ATTN_QUANT", "1") == "1"
+    if pol_attn_quant:
+        moe_params = decoder.quantize_decoder_int8(
+            moe_params, include_mlp=False, include_experts=False,
+            include_lm_head=True, include_embed=True)
+        log("policy attention/head/embed quantized to int8 W8A8 (frozen "
+            "in the record train set; trainable FFNs stay bf16)")
     params["llm"] = decoder.stack_layers(pol_cfg.llm, moe_params)
     del moe_params
 
@@ -286,7 +301,7 @@ def bench_dpo():
                        train_modules=("/gate", "/up", "/down", "router"),
                        moe_loss_enable=True, compute_dtype="bfloat16",
                        remat=remat,
-                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "2048")),
+                       vocab_chunk=int(os.environ.get("BENCH_CHUNK", "4096")),
                        total_steps=10_000, max_grad_norm=0.0)
     state = TrainState.create(params, tcfg)
     step = make_dpo_step(pol_cfg, ref_cfg, tcfg)
@@ -345,7 +360,15 @@ def bench_dpo():
         fb += 2 * h_r * tok2
     else:
         fb += 2 * (a_r + f_r + h_r) * tok2
-    fb += (6 * (f_p + r_p) + 4 * a_p + 4 * h_p) * tok2
+    fb += (6 * (f_p + r_p)) * tok2
+    if pol_attn_quant:
+        # frozen policy attention fwd + STE dx on the int8 MXU; int8 head
+        # fwd int8, but its dh backward runs on the dequantized bf16 chunk
+        # (ops/losses._lse_gather_bwd)
+        fi += (4 * a_p + 2 * h_p) * tok2
+        fb += 2 * h_p * tok2
+    else:
+        fb += (4 * a_p + 4 * h_p) * tok2
     fb += 2 * p_v * 577 * b
     mfu_dtype = (fi / 394e12 + fb / 197e12) * steps / elapsed
     log(f"elapsed {elapsed:.2f}s for {steps} steps; "
@@ -355,7 +378,9 @@ def bench_dpo():
         "metric": "dpo_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 1),
         "unit": f"tokens/s/chip (kto_pair, 1.8b-MoE policy record train "
-                f"set + adafactor, dense 1.8b ref"
+                f"set + adafactor"
+                + (", int8 frozen attn/head" if pol_attn_quant else "")
+                + ", dense 1.8b ref"
                 + (" int8-W8A8" if ref_quant.startswith("int8") else "")
                 + f", B={b}, T={t}, 2-forward step)",
         "vs_baseline": round(mfu_dtype / 0.40, 3),
@@ -551,6 +576,8 @@ def bench_distill(cfg_name: str = "default"):
                            env("BENCH_BWD_MB", "-1")),
                        fused_fwd_chunks=int(env("BENCH_FWD_CHUNKS", "-1")),
                        grad_accum_steps=int(env("BENCH_ACCUM", "1")),
+                       kd_int8_dh=env("BENCH_INT8_DH", "0") == "1",
+                       kd_stream_dh=env("BENCH_STREAM_DH", "0") == "1",
                        total_steps=10_000, max_grad_norm=1.0)
     accum = tcfg.grad_accum_steps
     if accum > 1:

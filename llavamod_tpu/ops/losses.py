@@ -200,9 +200,11 @@ chunked_lse_and_gather.defvjp(_lse_gather_fwd, _lse_gather_bwd)
 # chunked KD cross-entropy  (teacher -> student forward KL numerator)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def chunked_kd_cross_entropy(h_s, w_s, h_t, w_t, weight, vocab_limit: int,
-                             chunk: int = DEFAULT_CHUNK):
+                             chunk: int = DEFAULT_CHUNK,
+                             int8_dh: bool = False,
+                             stream_dh: bool = False):
     """Per-token  -sum_v p_t(v) * logp_s(v)  weighted-summed over tokens.
 
     h_s [N, Ds], w_s [Vs, Ds]; h_t [N, Dt], w_t [Vt, Dt]; weight [N] fp32
@@ -258,19 +260,118 @@ def _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
     return loss, lse_s, lse_t
 
 
-def _kd_fwd(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
+
+def _acc_matmul(e, s_c, int8_dh):
+    """Fold exp-weights [N, C] (f32) with one student-head chunk into an
+    [N, Ds] f32 accumulator contribution (the streamed-dh building block).
+
+    Exact path: dequantize the chunk to bf16 (the same numerics as the
+    two-pass backward's ds @ W_deq).  int8_dh: per-vocab-row scales folded
+    into the weights, rows dynamically quantized, int8 MXU (STE estimate).
+    """
+    if int8_dh:
+        ef = e * s_c["s"].astype(jnp.float32)[None, :]
+        q, qs = _rowquant(ef)
+        y = jax.lax.dot_general(q, s_c["w"], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * qs[:, None]
+    wf = (s_c["w"].astype(jnp.bfloat16)
+          * s_c["s"].astype(jnp.bfloat16)[:, None])
+    return jax.lax.dot(e.astype(jnp.bfloat16), wf,
+                       preferred_element_type=jnp.float32)
+
+
+def _gather_head_rows(w_s, ids):
+    """Dequantized [N, Ds] f32 rows of an int8 head dict at `ids`."""
+    wq = jnp.take(w_s["w_int8"], ids, axis=0)
+    sc = jnp.take(w_s["scale"], ids).astype(jnp.float32)
+    return wq.astype(jnp.float32) * sc[:, None]
+
+
+def _kd_fwd_streamed(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk,
+                     int8_dh):
+    """KD forward that ALSO streams the dh accumulators (int8 student head
+    only, where dw is skipped by contract): the backward then needs NO
+    second pass over either head.  dh = coef * (p_s @ W - p_t @ W), and
+    both probability-weighted head averages are accumulated chunk-wise in
+    the same scan that builds the softmax statistics (flash-attention-style
+    running-max rescaling applies to the [N, Ds] accumulators too)."""
+    n, d_s = h_s.shape
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
+
+    def step(carry, inputs):
+        m_s, l_s, m_t, l_t, a, acc_s, acc_t = carry
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
+        t = t_fn(t_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        s = jnp.where(valid, s, -jnp.inf)
+        t = jnp.where(valid, t, -jnp.inf)
+
+        m_s_new = jnp.maximum(m_s, jnp.max(s, axis=1))
+        res_s = jnp.exp(m_s - m_s_new)
+        es = jnp.exp(s - m_s_new[:, None])          # 0 on invalid cols
+        l_s = l_s * res_s + jnp.sum(es, axis=1)
+
+        m_t_new = jnp.maximum(m_t, jnp.max(t, axis=1))
+        res_t = jnp.exp(m_t - m_t_new)
+        et = jnp.where(valid, jnp.exp(t - m_t_new[:, None]), 0.0)
+        l_t = l_t * res_t + jnp.sum(et, axis=1)
+        a = a * res_t + jnp.sum(et * jnp.where(valid, s, 0.0), axis=1)
+
+        acc_s = acc_s * res_s[:, None] + _acc_matmul(es, s_c, int8_dh)
+        acc_t = acc_t * res_t[:, None] + _acc_matmul(et, s_c, int8_dh)
+        return (m_s_new, l_s, m_t_new, l_t, a, acc_s, acc_t), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n, d_s), jnp.float32),
+            jnp.zeros((n, d_s), jnp.float32))
+    (m_s, l_s, m_t, l_t, a, acc_s, acc_t), _ = jax.lax.scan(
+        step, init, (s_xs, t_xs, jnp.arange(nc)))
+    lse_s = m_s + jnp.log(l_s)
+    loss = jnp.sum((lse_s - a / l_t) * weight)
+    ps_w = acc_s / l_s[:, None]
+    pt_w = acc_t / l_t[:, None]
+    return loss, ps_w, pt_w
+
+
+def _kd_fwd(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk, int8_dh,
+            stream_dh):
+    if stream_dh and isinstance(w_s, dict):
+        loss, ps_w, pt_w = _kd_fwd_streamed(
+            h_s, w_s, h_t, w_t, weight, vocab_limit, chunk, int8_dh)
+        # 4-tuple residual = streamed branch (vs the plain 7-tuple);
+        # the empty array only carries h_s's dtype for the dh cast
+        return loss, (jnp.zeros((0,), h_s.dtype), weight, ps_w, pt_w)
     loss, lse_s, lse_t = _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk)
     return loss, (h_s, w_s, h_t, w_t, weight, lse_s, lse_t)
 
 
-def _student_dh_and_dw(ds, s_c, h_s, s_quant):
+def _student_dh_and_dw(ds, s_c, h_s, s_quant, int8_dh=False):
     """Fold one chunk's logit cotangent into (dh contribution, dw chunk).
 
     Plain student head: dh += ds @ w_chunk, dw_chunk = ds^T @ h.  int8
     student head (frozen by contract — the align recipe trains FFN+router
     only): dh uses the dequantized chunk, which makes the gradient EXACT
-    w.r.t. the quantized forward; dw is skipped entirely."""
+    w.r.t. the quantized forward; dw is skipped entirely.  int8_dh=True
+    (opt-in, TrainConfig.kd_int8_dh) instead folds the per-vocab-row
+    scales into the cotangent, dynamically row-quantizes it, and runs dh
+    on the int8 MXU — the SAME straight-through cotangent estimate the
+    int8 body matmuls use (decoder.dense_int8 backward); direction pinned
+    in tests, not bit-exact."""
     if s_quant:
+        if int8_dh:
+            dsf = ds * s_c["s"].astype(jnp.float32)[None, :]
+            q, qs = _rowquant(dsf)
+            y = jax.lax.dot_general(q, s_c["w"], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * qs[:, None], \
+                jnp.zeros((), jnp.float32)
         wf = (s_c["w"].astype(jnp.bfloat16)
               * s_c["s"].astype(jnp.bfloat16)[:, None])
         dh_c = jax.lax.dot(ds.astype(jnp.bfloat16), wf,
@@ -295,7 +396,15 @@ def _assemble_dw(dw_chunks, w_s, vocab_limit, chunk, nc, s_quant):
     return dw.astype(w_s.dtype)
 
 
-def _kd_bwd(vocab_limit, chunk, res, g):
+def _kd_bwd(vocab_limit, chunk, int8_dh, stream_dh, res, g):
+    if len(res) == 4:
+        # streamed branch (int8 student head): the forward already holds
+        # p_s @ W and p_t @ W — dh is elementwise, NO head repass, no dw
+        dtype_ref, weight, ps_w, pt_w = res
+        coef = (g * weight)[:, None]
+        dh = coef * (ps_w - pt_w)
+        return (dh.astype(dtype_ref.dtype), None, None, None,
+                jnp.zeros_like(weight))
     h_s, w_s, h_t, w_t, weight, lse_s, lse_t = res
     n, d_s = h_s.shape
     s_quant = isinstance(w_s, dict)
@@ -311,7 +420,7 @@ def _kd_bwd(vocab_limit, chunk, res, g):
         p_s = jnp.where(valid, jnp.exp(s - lse_s[:, None]), 0.0)
         p_t = jnp.where(valid, jnp.exp(t - lse_t[:, None]), 0.0)
         ds = coef * (p_s - p_t)  # d loss / d s_chunk
-        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant)
+        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant, int8_dh)
         return dh + dh_c, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
@@ -327,9 +436,10 @@ chunked_kd_cross_entropy.defvjp(_kd_fwd, _kd_bwd)
 # fused KD + CE  (the kd_lm recipe of record: one pass over student logits)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def chunked_kd_ce(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
-                  vocab_limit: int, chunk: int = DEFAULT_CHUNK):
+                  vocab_limit: int, chunk: int = DEFAULT_CHUNK,
+                  int8_dh: bool = False, stream_dh: bool = False):
     """Fused  (KD loss, CE loss)  sharing ONE streaming pass.
 
     The kd_lm objective (align_trainer.py:570-573) needs both the
@@ -393,15 +503,94 @@ def _kdce_fwd_impl(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
     return kd, ce, lse_s, lse_t
 
 
+
+def _kdce_fwd_streamed(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
+                       vocab_limit, chunk, int8_dh):
+    """kd_lm forward with streamed dh accumulators (int8 student head):
+    ds = g_kd*kd_w*(p_s - p_t) + g_ce*ce_w*(p_s - onehot(ce_ids)), so
+    dh = coef_kd*(p_s@W - p_t@W) + coef_ce*(p_s@W - W[ce_ids]) — all three
+    terms come out of the SAME stats scan; the backward never touches the
+    heads again."""
+    n, d_s = h_s.shape
+    s_fn, s_xs, nc = _prep_head_stream(h_s, w_s, vocab_limit, chunk)
+    t_fn, t_xs, _ = _prep_head_stream(h_t, w_t, vocab_limit, chunk)
+
+    def step(carry, inputs):
+        m_s, l_s, m_t, l_t, a, picked, acc_s, acc_t = carry
+        s_c, t_c, c_idx = inputs
+        s = s_fn(s_c)
+        t = t_fn(t_c)
+        valid = _valid_cols(c_idx, chunk, vocab_limit, n)
+        s = jnp.where(valid, s, -jnp.inf)
+        t = jnp.where(valid, t, -jnp.inf)
+
+        m_s_new = jnp.maximum(m_s, jnp.max(s, axis=1))
+        res_s = jnp.exp(m_s - m_s_new)
+        es = jnp.exp(s - m_s_new[:, None])
+        l_s = l_s * res_s + jnp.sum(es, axis=1)
+
+        m_t_new = jnp.maximum(m_t, jnp.max(t, axis=1))
+        res_t = jnp.exp(m_t - m_t_new)
+        et = jnp.where(valid, jnp.exp(t - m_t_new[:, None]), 0.0)
+        l_t = l_t * res_t + jnp.sum(et, axis=1)
+        a = a * res_t + jnp.sum(et * jnp.where(valid, s, 0.0), axis=1)
+
+        local = ce_ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        got = jnp.take_along_axis(
+            s, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
+        picked = jnp.where(in_chunk, got, picked)
+
+        acc_s = acc_s * res_s[:, None] + _acc_matmul(es, s_c, int8_dh)
+        acc_t = acc_t * res_t[:, None] + _acc_matmul(et, s_c, int8_dh)
+        return (m_s_new, l_s, m_t_new, l_t, a, picked, acc_s, acc_t), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n, d_s), jnp.float32),
+            jnp.zeros((n, d_s), jnp.float32))
+    (m_s, l_s, m_t, l_t, a, picked, acc_s, acc_t), _ = jax.lax.scan(
+        step, init, (s_xs, t_xs, jnp.arange(nc)))
+    lse_s = m_s + jnp.log(l_s)
+    lse_t = m_t + jnp.log(l_t)
+    kd = jnp.sum((lse_s - a / l_t) * kd_weight)
+    ce = jnp.sum((lse_s - picked) * ce_weight)
+    ps_w = acc_s / l_s[:, None]
+    pt_w = acc_t / l_t[:, None]
+    return kd, ce, ps_w, pt_w
+
+
 def _kdce_fwd(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
-              vocab_limit, chunk):
+              vocab_limit, chunk, int8_dh, stream_dh):
+    if stream_dh and isinstance(w_s, dict):
+        kd, ce, ps_w, pt_w = _kdce_fwd_streamed(
+            h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, vocab_limit,
+            chunk, int8_dh)
+        # 6-tuple residual = streamed branch (vs the plain 9-tuple)
+        return (kd, ce), (jnp.zeros((0,), h_s.dtype), w_s, kd_weight,
+                          ce_weight, ce_ids, (ps_w, pt_w))
     kd, ce, lse_s, lse_t = _kdce_fwd_impl(
         h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, vocab_limit, chunk)
     return (kd, ce), (h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
                       lse_s, lse_t)
 
 
-def _kdce_bwd(vocab_limit, chunk, res, g):
+def _kdce_bwd(vocab_limit, chunk, int8_dh, stream_dh, res, g):
+    if len(res) == 6:
+        # streamed branch (int8 student head): dh is elementwise over the
+        # forward's p_s@W / p_t@W accumulators + one dequantized row gather
+        dtype_ref, w_s, kd_weight, ce_weight, ce_ids, (ps_w, pt_w) = res
+        g_kd, g_ce = g
+        coef_kd = (g_kd * kd_weight)[:, None]
+        coef_ce = (g_ce * ce_weight)[:, None]
+        w_ce = _gather_head_rows(w_s, ce_ids)
+        dh = coef_kd * (ps_w - pt_w) + coef_ce * (ps_w - w_ce)
+        return (dh.astype(dtype_ref.dtype), None, None, None,
+                jnp.zeros_like(kd_weight), jnp.zeros_like(ce_weight), None)
     h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, lse_s, lse_t = res
     g_kd, g_ce = g
     n, d_s = h_s.shape
@@ -423,7 +612,7 @@ def _kdce_bwd(vocab_limit, chunk, res, g):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
                   == jnp.clip(local, 0, chunk - 1)[:, None]) & in_chunk[:, None]
         ds = coef_kd * (p_s - p_t) + coef_ce * (p_s - onehot)
-        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant)
+        dh_c, dw_c = _student_dh_and_dw(ds, s_c, h_s, s_quant, int8_dh)
         return dh + dh_c, dw_c
 
     dh, dw_chunks = jax.lax.scan(step, jnp.zeros((n, d_s), jnp.float32),
@@ -472,7 +661,9 @@ def softmax_cross_entropy(hidden, w_head, labels, ignore_index: int = -100,
 def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
                   ignore_index: int = -100, vocab_limit: Optional[int] = None,
                   distill_all_tokens: bool = False,
-                  chunk: int = DEFAULT_CHUNK) -> TokenLossOutput:
+                  chunk: int = DEFAULT_CHUNK,
+                  int8_dh: bool = False,
+                  stream_dh: bool = False) -> TokenLossOutput:
     """Mimic-distillation loss (reference compute_align_loss semantics):
     token-mean over the response mask of -sum_v p_t(v) logp_s(v), with NO
     next-token shift (teacher and student are aligned position-wise)."""
@@ -489,7 +680,8 @@ def kd_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
     weight = mask / denom
     h_t = jax.lax.stop_gradient(h_t)
     w_head_t = jax.lax.stop_gradient(w_head_t)
-    loss = chunked_kd_cross_entropy(h_s, w_head_s, h_t, w_head_t, weight, v, chunk)
+    loss = chunked_kd_cross_entropy(h_s, w_head_s, h_t, w_head_t, weight,
+                                    v, chunk, int8_dh, stream_dh)
     return TokenLossOutput(loss, denom)
 
 
@@ -504,7 +696,9 @@ def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
                      ignore_index: int = -100,
                      vocab_limit: Optional[int] = None,
                      distill_all_tokens: bool = False,
-                     chunk: int = DEFAULT_CHUNK) -> KdCeOutput:
+                     chunk: int = DEFAULT_CHUNK,
+                     int8_dh: bool = False,
+                     stream_dh: bool = False) -> KdCeOutput:
     """kd_lm objective in one streaming pass (align_trainer.py:570-573):
     KD is same-position over the response mask; CE is next-token-shifted —
     both share the same [B*T] student logit stream (the last position's CE
@@ -534,7 +728,7 @@ def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
 
     kd, ce = chunked_kd_ce(h_s, w_head_s, h_t, w_head_t,
                            kd_mask / kd_denom, ce_mask / ce_denom, ce_ids,
-                           v, chunk)
+                           v, chunk, int8_dh, stream_dh)
     return KdCeOutput(kd, ce, kd_denom, ce_denom)
 
 

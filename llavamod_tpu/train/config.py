@@ -113,6 +113,20 @@ class TrainConfig:
     # straight-through estimate.  Quantized on the fly from the live params
     # each step (a [V, D] elementwise pass) so no optimizer/state changes.
     student_head_quant: bool = False
+    # opt-in: run the KD losses' dL/dhidden matmul through the int8
+    # student head on the int8 MXU with dynamically quantized cotangent
+    # rows (straight-through estimate, same scheme as the int8 body
+    # matmuls) instead of the exact dequantized-bf16 path.  Only
+    # meaningful with student_head_quant/int8-head params.
+    kd_int8_dh: bool = False
+    # opt-in: stream the dh accumulators (p_s@W, p_t@W) through the KD
+    # forward scan so the loss backward never re-touches the heads —
+    # costs [N, Ds] x2 fp32 residuals per microbatch (~268 MB at record
+    # shapes, which is exactly why it is NOT the default there); only
+    # active for int8 student heads.  Measured ~neutral on v5e (the
+    # removed int8 logit repasses cost about what the added bf16
+    # accumulator matmuls do); see BENCH_NOTES round-11.
+    kd_stream_dh: bool = False
     # int8 (W8A8) student decoder BODY — attention + dense MLP + experts;
     # the router stays float.  ONLY valid when every quantized weight is
     # frozen (router-only train sets): the body never updates, forward

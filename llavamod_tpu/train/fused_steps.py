@@ -426,12 +426,15 @@ def make_fused_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                     hidden_m, w, h_t_m, w_t, labels_m,
                     vocab_limit=vocab_limit,
                     distill_all_tokens=tcfg.distill_all_tokens,
-                    chunk=tcfg.vocab_chunk)
+                    chunk=tcfg.vocab_chunk, int8_dh=tcfg.kd_int8_dh,
+                stream_dh=tcfg.kd_stream_dh)
                 return fused.kd_loss, fused.ce_loss, fused.kd_tokens
             kd = kd_align_loss(hidden_m, w, h_t_m, w_t, labels_m,
                                vocab_limit=vocab_limit,
                                distill_all_tokens=tcfg.distill_all_tokens,
-                               chunk=tcfg.vocab_chunk)
+                               chunk=tcfg.vocab_chunk,
+                               int8_dh=tcfg.kd_int8_dh,
+                stream_dh=tcfg.kd_stream_dh)
             return kd.loss, jnp.zeros(()), kd.num_tokens
 
         def tail_fn(xh, tt):

@@ -356,7 +356,8 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
                 out.hidden, w_s, h_t, w_t, batch.labels,
                 vocab_limit=vocab_limit,
                 distill_all_tokens=tcfg.distill_all_tokens,
-                chunk=tcfg.vocab_chunk)
+                chunk=tcfg.vocab_chunk, int8_dh=tcfg.kd_int8_dh,
+                stream_dh=tcfg.kd_stream_dh)
             loss = fused.kd_loss + fused.ce_loss
             metrics["loss/align"] = fused.kd_loss
             metrics["loss/lm"] = fused.ce_loss
@@ -365,7 +366,9 @@ def make_align_step(student_cfg: LlavaConfig, teacher_cfg: LlavaConfig,
             kd = kd_align_loss(out.hidden, w_s, h_t, w_t, batch.labels,
                                vocab_limit=vocab_limit,
                                distill_all_tokens=tcfg.distill_all_tokens,
-                               chunk=tcfg.vocab_chunk)
+                               chunk=tcfg.vocab_chunk,
+                               int8_dh=tcfg.kd_int8_dh,
+                stream_dh=tcfg.kd_stream_dh)
             loss = kd.loss
             metrics["loss/align"] = kd.loss
             metrics["num_tokens"] = kd.num_tokens

@@ -324,3 +324,116 @@ def test_int8_student_head_in_fused_kd_ce():
     assert abs(float(l1 - l0)) / abs(float(l0)) < 1e-3
     assert float(jnp.linalg.norm(g1 - g0) / jnp.linalg.norm(g0)) < 2e-2
     assert np.all(np.isfinite(np.asarray(g1)))
+
+
+def test_int8_dh_cotangent_estimate_direction():
+    """kd losses with int8_dh=True (TrainConfig.kd_int8_dh): dL/dhidden runs
+    through the int8 student head with dynamically quantized cotangent rows
+    (the int8-body STE scheme).  Loss value is IDENTICAL (forward unchanged);
+    the dh estimate must track the exact dequantized-bf16 path in direction
+    and norm."""
+    from llavamod_tpu.models.llm.decoder import quantize_head_int8
+    from llavamod_tpu.ops.losses import (
+        chunked_kd_ce,
+        chunked_kd_cross_entropy,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d_s, d_t, v = 64, 32, 48, 1000
+    h_s = jnp.asarray(rng.normal(size=(n, d_s)), jnp.float32)
+    w_s = quantize_head_int8(
+        jnp.asarray(rng.normal(size=(v, d_s)) * 0.3, jnp.float32))
+    h_t = jnp.asarray(rng.normal(size=(n, d_t)), jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(v, d_t)) * 0.3, jnp.float32)
+    weight = jnp.ones((n,), jnp.float32) / n
+    ids = jnp.asarray(rng.integers(0, 900, n), jnp.int32)
+
+    def cos_and_rel(g_exact, g_est):
+        ge, gs = np.asarray(g_exact, np.float64), np.asarray(g_est, np.float64)
+        cos = (ge * gs).sum() / (np.linalg.norm(ge) * np.linalg.norm(gs) + 1e-12)
+        rel = np.linalg.norm(gs - ge) / (np.linalg.norm(ge) + 1e-12)
+        return cos, rel
+
+    for int8_dh in (False, True):
+        f = lambda hs: chunked_kd_cross_entropy(  # noqa: E731
+            hs, w_s, h_t, w_t, weight, 950, 256, int8_dh)
+        l, g = jax.value_and_grad(f)(h_s)
+        if not int8_dh:
+            l0, g0 = l, g
+    assert float(l) == float(l0)  # forward identical
+    cos, rel = cos_and_rel(g0, g)
+    assert cos > 0.999 and rel < 0.05, (cos, rel)
+
+    kd0, _ = chunked_kd_ce(h_s, w_s, h_t, w_t, weight, weight, ids, 950, 256,
+                           False)
+    f2 = lambda hs, flag: chunked_kd_ce(  # noqa: E731
+        hs, w_s, h_t, w_t, weight, weight, ids, 950, 256, flag)[0]
+    _, gg0 = jax.value_and_grad(f2)(h_s, False)
+    kd1v, gg1 = jax.value_and_grad(f2)(h_s, True)
+    assert float(kd1v) == float(kd0)
+    cos, rel = cos_and_rel(gg0, gg1)
+    assert cos > 0.999 and rel < 0.05, (cos, rel)
+
+
+@pytest.mark.parametrize("stream_dh", [False, True])
+def test_streamed_dh_matches_dense_reference(stream_dh):
+    """int8-student-head KD/KD+CE backward (the streamed-dh path: dh built
+    from the forward's p@W accumulators, no head repass) vs a dense
+    brute-force gradient over the dequantized head."""
+    from llavamod_tpu.models.llm.decoder import quantize_head_int8
+    from llavamod_tpu.ops.losses import (
+        chunked_kd_ce,
+        chunked_kd_cross_entropy,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d_s, d_t, v, vl = 48, 24, 40, 512, 500
+    h_s = jnp.asarray(rng.normal(size=(n, d_s)), jnp.float32)
+    w_s_f = jnp.asarray(rng.normal(size=(v, d_s)) * 0.3, jnp.float32)
+    w_s = quantize_head_int8(w_s_f)
+    w_deq = (w_s["w_int8"].astype(jnp.float32)
+             * w_s["scale"][:, None].astype(jnp.float32))
+    h_t = jnp.asarray(rng.normal(size=(n, d_t)), jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(v, d_t)) * 0.3, jnp.float32)
+    kd_w = jnp.asarray(rng.random(n), jnp.float32)
+    ce_w = jnp.asarray(rng.random(n), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, vl, n), jnp.int32)
+
+    def dense_kdce(hs):
+        s = (hs @ w_deq.T)[:, :vl]
+        t = (h_t @ w_t.T)[:, :vl]
+        lse_s = jax.nn.logsumexp(s, axis=1)
+        p_t = jax.nn.softmax(t, axis=1)
+        kd = jnp.sum((lse_s - jnp.sum(p_t * s, axis=1)) * kd_w)
+        ce = jnp.sum((lse_s - jnp.take_along_axis(
+            s, ids[:, None], axis=1)[:, 0]) * ce_w)
+        return kd + 0.5 * ce
+
+    g_dense = jax.grad(dense_kdce)(h_s)
+
+    def ours(hs):
+        kd, ce = chunked_kd_ce(hs, w_s, h_t, w_t, kd_w, ce_w, ids, vl,
+                               128, False, stream_dh)
+        return kd + 0.5 * ce
+
+    g_ours = jax.grad(ours)(h_s)
+    # bf16 accumulator matmuls vs the fp32 dense oracle: elementwise noise
+    # floor ~1e-3 of the gradient scale, direction essentially exact
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_dense),
+                               rtol=2e-2, atol=2e-3)
+    ge, go = np.asarray(g_dense, np.float64), np.asarray(g_ours, np.float64)
+    cos = (ge * go).sum() / (np.linalg.norm(ge) * np.linalg.norm(go))
+    assert cos > 0.9999, cos
+
+    def dense_kd(hs):
+        s = (hs @ w_deq.T)[:, :vl]
+        t = (h_t @ w_t.T)[:, :vl]
+        lse_s = jax.nn.logsumexp(s, axis=1)
+        p_t = jax.nn.softmax(t, axis=1)
+        return jnp.sum((lse_s - jnp.sum(p_t * s, axis=1)) * kd_w)
+
+    g_dense2 = jax.grad(dense_kd)(h_s)
+    g_ours2 = jax.grad(lambda hs: chunked_kd_cross_entropy(
+        hs, w_s, h_t, w_t, kd_w, vl, 128, False, stream_dh))(h_s)
+    np.testing.assert_allclose(np.asarray(g_ours2), np.asarray(g_dense2),
+                               rtol=2e-2, atol=2e-3)
