@@ -181,6 +181,15 @@ class AlignArgs:
     # actual trainable mask.  ~halves the frozen body's weight reads and
     # runs its matmuls (fwd + straight-through dL/dx) on the int8 MXU.
     policy_body_quant: bool = False
+    # int8-MXU STE cotangent for the int8 student head's dL/dhidden in
+    # the chunked KD losses (+0.7% measured; trades the exact
+    # dequantized-bf16 dh path for the same straight-through estimate
+    # the int8 body uses — BENCH_NOTES round-11).
+    kd_int8_dh: bool = False
+    # stream the dh accumulators through the KD forward scan (backward
+    # never re-touches the heads; costs [N, Ds] x2 fp32 residuals per
+    # microbatch).  int8 student head only; measured ~neutral on v5e.
+    kd_stream_dh: bool = False
 
 
 @dataclasses.dataclass
@@ -303,6 +312,8 @@ def train_config_from_args(stage: str, targs: TrainArgs, total_steps: int,
                     "FFN+router list) — quantizing a TRAINED head would "
                     "silently stop its gradients")
             kw["student_head_quant"] = True
+        kw["kd_int8_dh"] = align.kd_int8_dh
+        kw["kd_stream_dh"] = align.kd_stream_dh
         if align.policy_body_quant:
             if not (model_args and model_args.train_modules):
                 raise ValueError(
