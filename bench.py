@@ -448,6 +448,13 @@ def bench_distill(cfg_name: str = "default"):
             defaults["BENCH_TRAIN_MODULES"] = "record"
             defaults["BENCH_OPT"] = "adafactor"
             defaults["BENCH_STUDENT_ATTN_QUANT"] = "1"
+            # the frozen int8 head's dL/dhidden joins the attention dx in
+            # the straight-through family: accumulators streamed through
+            # the loss forward (backward never re-touches the heads) on
+            # the int8 MXU.  4,967 -> 5,013 tok/s measured; BENCH_INT8_DH=0
+            # BENCH_STREAM_DH=0 restores the exact dequantized-bf16 dh.
+            defaults["BENCH_INT8_DH"] = "1"
+            defaults["BENCH_STREAM_DH"] = "1"
             defaults["BENCH_FUSED"] = "1"
             defaults["BENCH_REMAT"] = "0"
             defaults["BENCH_REMAT_POLICY"] = "none"
@@ -915,6 +922,8 @@ def bench_distill(cfg_name: str = "default"):
                    else ", record train set (all FFN + router)")
                 + (", adafactor" if opt_name == "adafactor" else "")
                 + (f", accum={accum} in-batch" if accum > 1 else "")
+                + (", streamed STE dh" if tcfg.kd_stream_dh
+                   and tcfg.kd_int8_dh else "")
                 + ")",
         # HONEST headline: dtype-aware MFU (int8 matmuls charged their real
         # 394 TF/s peak) vs the 0.40 BASELINE.md target; bf16-peak ratio

@@ -345,6 +345,8 @@ def _kd_fwd(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk, int8_dh,
     if stream_dh and isinstance(w_s, dict):
         loss, ps_w, pt_w = _kd_fwd_streamed(
             h_s, w_s, h_t, w_t, weight, vocab_limit, chunk, int8_dh)
+        if int8_dh:  # STE-grade accumulators: bf16 residual storage
+            ps_w, pt_w = ps_w.astype(jnp.bfloat16), pt_w.astype(jnp.bfloat16)
         # 4-tuple residual = streamed branch (vs the plain 7-tuple);
         # the empty array only carries h_s's dtype for the dh cast
         return loss, (jnp.zeros((0,), h_s.dtype), weight, ps_w, pt_w)
@@ -402,7 +404,7 @@ def _kd_bwd(vocab_limit, chunk, int8_dh, stream_dh, res, g):
         # p_s @ W and p_t @ W — dh is elementwise, NO head repass, no dw
         dtype_ref, weight, ps_w, pt_w = res
         coef = (g * weight)[:, None]
-        dh = coef * (ps_w - pt_w)
+        dh = coef * (ps_w.astype(jnp.float32) - pt_w.astype(jnp.float32))
         return (dh.astype(dtype_ref.dtype), None, None, None,
                 jnp.zeros_like(weight))
     h_s, w_s, h_t, w_t, weight, lse_s, lse_t = res
@@ -570,6 +572,11 @@ def _kdce_fwd(h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids,
         kd, ce, ps_w, pt_w = _kdce_fwd_streamed(
             h_s, w_s, h_t, w_t, kd_weight, ce_weight, ce_ids, vocab_limit,
             chunk, int8_dh)
+        if int8_dh:
+            # the accumulators are already STE-grade (int8 matmuls with
+            # quantized rows): bf16 residual storage halves the stacked
+            # per-microbatch footprint without changing the estimate class
+            ps_w, pt_w = ps_w.astype(jnp.bfloat16), pt_w.astype(jnp.bfloat16)
         # 6-tuple residual = streamed branch (vs the plain 9-tuple)
         return (kd, ce), (jnp.zeros((0,), h_s.dtype), w_s, kd_weight,
                           ce_weight, ce_ids, (ps_w, pt_w))
@@ -584,6 +591,8 @@ def _kdce_bwd(vocab_limit, chunk, int8_dh, stream_dh, res, g):
         # streamed branch (int8 student head): dh is elementwise over the
         # forward's p_s@W / p_t@W accumulators + one dequantized row gather
         dtype_ref, w_s, kd_weight, ce_weight, ce_ids, (ps_w, pt_w) = res
+        ps_w = ps_w.astype(jnp.float32)
+        pt_w = pt_w.astype(jnp.float32)
         g_kd, g_ce = g
         coef_kd = (g_kd * kd_weight)[:, None]
         coef_ce = (g_ce * ce_weight)[:, None]

@@ -389,3 +389,34 @@ def test_fused_step_loss_decreases():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 8
+
+
+def test_ste_dh_trajectory_tracks_exact():
+    """The flagship bench's fast mode (kd_int8_dh + kd_stream_dh over the
+    frozen int8 student head) must TRAIN like the exact dequantized-bf16
+    dh path: 10 compounding Adafactor steps from identical weights stay
+    within ~1% relative loss at every step and keep descending."""
+    from llavamod_tpu.train.optim import TrainState
+    from llavamod_tpu.train.steps import make_align_step
+
+    def run(tcfg_extra):
+        cfg, params, tcfg, teacher, batch = _tiny_setup(2)
+        teacher_cfg = cfg.replace(llm=cfg.llm.replace(
+            moe_num_experts=0, moe_layers=()))
+        tcfg = tcfg.replace(student_head_quant=True, learning_rate=3e-3,
+                            **tcfg_extra)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tcfg)
+        step = make_align_step(cfg, teacher_cfg, tcfg)
+        losses = []
+        for _ in range(10):
+            state, m = step(state, teacher, batch)
+            losses.append(float(m["loss"]))
+        return np.array(losses)
+
+    exact = run(dict(kd_int8_dh=False, kd_stream_dh=False))
+    ste = run(dict(kd_int8_dh=True, kd_stream_dh=True))
+    assert exact[-1] < exact[0], exact  # training happens
+    assert ste[-1] < ste[0], ste
+    np.testing.assert_allclose(ste, exact, rtol=1e-2,
+                               err_msg="STE-dh vs exact-dh trajectories")
