@@ -165,6 +165,7 @@ def bench_pretrain():
                        optimizer="adamw", learning_rate=1e-3,
                        warmup_ratio=0.03, lr_schedule="cosine",
                        compute_dtype="bfloat16", remat=remat,
+                       grad_row_chunks=row_chunks,
                        # sweep (round-5): 8192 > 2048/16384/38400 on this
                        # config — the row-chunked CE amortizes the scan's
                        # fixed overhead over bigger [2048, C] chunk matmuls

@@ -107,15 +107,27 @@ def _valid_cols(chunk_idx: int, chunk: int, vocab_limit: int, n: int):
 # chunked logsumexp + label-logit gather  (CE and DPO building block)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def chunked_lse_and_gather(h, w, ids, vocab_limit: int, chunk: int = DEFAULT_CHUNK):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def chunked_lse_and_gather(h, w, ids, vocab_limit: int,
+                           chunk: int = DEFAULT_CHUNK,
+                           stream_dh: bool = False):
     """Compute (logsumexp over vocab, logit of `ids`) without materializing
     full logits.
 
     h: [N, D] hidden states; w: [V, D] LM head (embedding layout);
     ids: [N] int32 target token ids (must be < vocab_limit).
     Returns (lse [N] fp32, picked [N] fp32).
-    """
+
+    stream_dh=True — FROZEN-HEAD contract (the caller must guarantee the
+    head weight receives no updates; steps.py derives this from the
+    trainable mask): the forward ALSO streams the softmax-weighted head
+    average p@W, so the backward is elementwise —
+    dh = g_lse * (p@W) + g_picked * W[ids] — and never re-touches the
+    head (saves one full [N, D] x [D, V] logit pass); dw is the exact
+    zero a frozen head's stop_gradient would produce anyway.  The
+    identity dh = ds@W with ds = g_lse*p + g_picked*onehot makes this
+    EXACT, not an estimate (same matmul dtype class as the two-pass
+    path)."""
     return _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk)
 
 
@@ -145,12 +157,66 @@ def _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk):
     return lse, picked
 
 
-def _lse_gather_fwd(h, w, ids, vocab_limit, chunk):
+
+
+def _lse_gather_fwd_streamed(h, w, ids, vocab_limit, chunk):
+    """Forward that also accumulates p@W and gathers W[ids] (frozen-head
+    streamed backward; see chunked_lse_and_gather)."""
+    n, d = h.shape
+    logit_fn, xs, nc = _prep_head_stream(h, w, vocab_limit, chunk)
+
+    def step(carry, w_chunk_and_idx):
+        m, l, picked, acc = carry
+        w_chunk, c_idx = w_chunk_and_idx
+        s = logit_fn(w_chunk)
+        s = jnp.where(_valid_cols(c_idx, chunk, vocab_limit, n), s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        res = jnp.exp(m - m_new)
+        es = jnp.exp(s - m_new[:, None])
+        l = l * res + jnp.sum(es, axis=1)
+        local = ids - c_idx * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        got = jnp.take_along_axis(
+            s, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
+        picked = jnp.where(in_chunk, got, picked)
+        acc = acc * res[:, None] + _acc_matmul(es, w_chunk, False)
+        return (m_new, l, picked, acc), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n, d), jnp.float32))
+    (m, l, picked, acc), _ = jax.lax.scan(step, init, (xs, jnp.arange(nc)))
+    lse = m + jnp.log(l)
+    ps_w = acc / l[:, None]
+    if isinstance(w, dict):
+        w_rows = _gather_head_rows(w, ids)
+    else:
+        w_rows = jnp.take(w[:vocab_limit], jnp.clip(ids, 0, vocab_limit - 1),
+                          axis=0).astype(jnp.float32)
+    return lse, picked, ps_w, w_rows
+
+
+def _lse_gather_fwd(h, w, ids, vocab_limit, chunk, stream_dh):
+    if stream_dh:
+        lse, picked, ps_w, w_rows = _lse_gather_fwd_streamed(
+            h, w, ids, vocab_limit, chunk)
+        # 4-tuple residual = streamed (vs the plain 4... disambiguated by
+        # the leading 0-size dtype carrier)
+        return (lse, picked), (jnp.zeros((0,), h.dtype), w, ps_w, w_rows)
     lse, picked = _lse_gather_fwd_impl(h, w, ids, vocab_limit, chunk)
     return (lse, picked), (h, w, ids, lse)
 
 
-def _lse_gather_bwd(vocab_limit, chunk, res, g):
+def _lse_gather_bwd(vocab_limit, chunk, stream_dh, res, g):
+    if stream_dh:
+        dtype_ref, w, ps_w, w_rows = res
+        g_lse, g_picked = g
+        dh = g_lse[:, None] * ps_w + g_picked[:, None] * w_rows
+        # frozen-head contract: the exact dw is the zero stop_gradient
+        # would produce; int8 dicts take None like the two-pass path
+        dw = None if isinstance(w, dict) else jnp.zeros_like(w)
+        return dh.astype(dtype_ref.dtype), dw, None
     h, w, ids, lse = res
     g_lse, g_picked = g  # [N], [N]
     n, d = h.shape
@@ -262,13 +328,17 @@ def _kd_fwd_impl(h_s, w_s, h_t, w_t, weight, vocab_limit, chunk):
 
 
 def _acc_matmul(e, s_c, int8_dh):
-    """Fold exp-weights [N, C] (f32) with one student-head chunk into an
-    [N, Ds] f32 accumulator contribution (the streamed-dh building block).
+    """Fold exp-weights [N, C] (f32) with one head chunk into an [N, Ds]
+    f32 accumulator contribution (the streamed-dh building block).
 
-    Exact path: dequantize the chunk to bf16 (the same numerics as the
-    two-pass backward's ds @ W_deq).  int8_dh: per-vocab-row scales folded
-    into the weights, rows dynamically quantized, int8 MXU (STE estimate).
-    """
+    Plain [C, D] chunk: one matmul in the head's dtype (the same numerics
+    as the two-pass backward's ds @ W).  int8 dict chunk, exact path:
+    dequantize to bf16 (== the two-pass ds @ W_deq).  int8_dh:
+    per-vocab-row scales folded into the weights, rows dynamically
+    quantized, int8 MXU (STE estimate)."""
+    if "s" not in s_c:
+        return jax.lax.dot(e.astype(s_c["w"].dtype), s_c["w"],
+                           preferred_element_type=jnp.float32)
     if int8_dh:
         ef = e * s_c["s"].astype(jnp.float32)[None, :]
         q, qs = _rowquant(ef)
@@ -646,7 +716,8 @@ class TokenLossOutput(NamedTuple):
 def softmax_cross_entropy(hidden, w_head, labels, ignore_index: int = -100,
                           vocab_limit: Optional[int] = None,
                           chunk: int = DEFAULT_CHUNK,
-                          shift: bool = True) -> TokenLossOutput:
+                          shift: bool = True,
+                          stream_dh: bool = False) -> TokenLossOutput:
     """Causal-LM CE.  hidden [B,T,D], w_head [V,D], labels [B,T].
 
     shift=True applies the standard next-token shift (HF CausalLM semantics);
@@ -661,7 +732,8 @@ def softmax_cross_entropy(hidden, w_head, labels, ignore_index: int = -100,
     ids = labels.reshape(b * t)
     mask = (ids != ignore_index)
     safe_ids = jnp.where(mask, ids, 0).astype(jnp.int32)
-    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk)
+    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk,
+                                         stream_dh)
     per_tok = (lse - picked) * mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return TokenLossOutput(jnp.sum(per_tok) / denom, denom)
@@ -744,7 +816,8 @@ def kd_ce_align_loss(hidden_s, w_head_s, hidden_t, w_head_t, labels,
 def sequence_log_prob(hidden, w_head, labels, ignore_index: int = -100,
                       vocab_limit: Optional[int] = None,
                       average: bool = False,
-                      chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+                      chunk: int = DEFAULT_CHUNK,
+                      stream_dh: bool = False) -> jnp.ndarray:
     """Per-sequence sum (or mean) of response-token log-probs.
 
     Matches DPOTrainer.get_logp (dpo_trainer.py:462-495): labels shifted by
@@ -759,7 +832,8 @@ def sequence_log_prob(hidden, w_head, labels, ignore_index: int = -100,
     ids = labels.reshape(b * t)
     mask = (ids != ignore_index)
     safe_ids = jnp.where(mask, ids, 0).astype(jnp.int32)
-    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk)
+    lse, picked = chunked_lse_and_gather(h, w_head, safe_ids, v, chunk,
+                                         stream_dh)
     per_tok = (picked - lse) * mask.astype(jnp.float32)
     per_seq = per_tok.reshape(b, t).sum(axis=1)
     if average:

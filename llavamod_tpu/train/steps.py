@@ -205,17 +205,38 @@ def _ce_token_counts(stacked_labels: jnp.ndarray,
     return jnp.sum(mask.astype(jnp.float32), axis=(1, 2))
 
 
+def _head_weight_frozen(cfg: LlavaConfig, tcfg: TrainConfig,
+                        lora_cfg=None) -> bool:
+    """True iff the LM-head weight leaf provably receives no updates under
+    trainable_mask's rules (mirrors train/optim.py::trainable_mask for the
+    head path) — the precondition for the EXACT streamed frozen-head
+    backward of chunked_lse_and_gather."""
+    if lora_cfg is not None:
+        return False  # adapters could target the head; stay conservative
+    if tcfg.tune_mm_mlp_adapter:
+        return True   # stage-1: projector-only
+    path = ("llm/embed/embedding" if cfg.llm.tie_word_embeddings
+            else "llm/lm_head/weight")
+    if tcfg.train_modules:
+        return not any(m in path for m in tcfg.train_modules)
+    return False      # full SFT: everything trains
+
+
 def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
                        lora_cfg=None) -> Callable:
     opt = build_optimizer_cached(tcfg, lora_cfg)
     coef = (cfg.llm.router_aux_loss_coef
             if (cfg.llm.is_moe and tcfg.moe_loss_enable) else 0.0)
+    # frozen head => the CE backward streams p@W in the forward and
+    # never re-runs the head-logit pass (exact; ops/losses.py)
+    ce_stream = _head_weight_frozen(cfg, tcfg, lora_cfg)
 
     def loss_fn(params, batch: MultimodalBatch):
         params = _stop_frozen(params, tcfg, lora_cfg)
         out, w_head = _student_forward(params, cfg, batch, tcfg, lora_cfg)
         ce = softmax_cross_entropy(out.hidden, w_head, batch.labels,
-                                   chunk=tcfg.vocab_chunk)
+                                   chunk=tcfg.vocab_chunk,
+                                   stream_dh=ce_stream)
         loss = ce.loss
         metrics = {"loss/lm": ce.loss, "num_tokens": ce.num_tokens}
         if cfg.llm.is_moe and tcfg.moe_loss_enable:
@@ -233,7 +254,8 @@ def make_pretrain_step(cfg: LlavaConfig, tcfg: TrainConfig,
         params = _stop_frozen(params, tcfg, lora_cfg)
         out, w_head = _student_forward(params, cfg, cb, tcfg, lora_cfg)
         ce = softmax_cross_entropy(out.hidden, w_head, cb.labels,
-                                   chunk=tcfg.vocab_chunk)
+                                   chunk=tcfg.vocab_chunk,
+                                   stream_dh=ce_stream)
         aux = out.aux_loss if cfg.llm.is_moe else jnp.zeros((), jnp.float32)
         return w_ce * ce.loss + w_aux * aux, (ce.loss, aux)
 
@@ -426,6 +448,10 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
     """step(state, ref_params, batch_dict_arrays) -> (state, metrics)."""
     opt = build_optimizer_cached(tcfg, lora_cfg)
     share_tower = _can_share_tower(tcfg, policy_cfg, ref_cfg)
+    # frozen policy head (the d2s train set carried into stage 3) => the
+    # logp backward streams p@W in the forward; the ref side is
+    # stop-gradient'd (no backward at all), so streaming is policy-only
+    pol_stream = _head_weight_frozen(policy_cfg, tcfg, lora_cfg)
 
     def paired_forward(params, cfg, batch2b, train, tower_feats):
         dtype = _DTYPES[tcfg.compute_dtype]
@@ -437,7 +463,8 @@ def make_dpo_step(policy_cfg: LlavaConfig, ref_cfg: LlavaConfig,
                             tower_feats=tower_feats)
         w = llava.lm_head_weight(cp, cfg)
         logps = sequence_log_prob(out.hidden, w, batch2b.labels,
-                                  chunk=tcfg.vocab_chunk)
+                                  chunk=tcfg.vocab_chunk,
+                                  stream_dh=train and pol_stream)
         b2 = logps.shape[0]
         return logps[: b2 // 2], logps[b2 // 2:], out
 

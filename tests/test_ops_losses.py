@@ -437,3 +437,34 @@ def test_streamed_dh_matches_dense_reference(stream_dh):
         hs, w_s, h_t, w_t, kd_w, vl, 128, False, stream_dh))(h_s)
     np.testing.assert_allclose(np.asarray(g_ours2), np.asarray(g_dense2),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_frozen_head_streamed_lse_gather_matches_two_pass():
+    """chunked_lse_and_gather(stream_dh=True) — the frozen-head streamed
+    backward used by stage-1 CE and the DPO policy logp — is EXACT: same
+    dh as the two-pass path (identity ds@W = g_lse*(p@W) + g_picked*W[ids])
+    for both plain and int8 heads."""
+    from llavamod_tpu.models.llm.decoder import quantize_head_int8
+
+    rng = np.random.default_rng(5)
+    n, d, v, vl = 48, 32, 512, 500
+    h = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(v, d)) * 0.3, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, vl, n), jnp.int32)
+    cl = jnp.asarray(rng.random(n), jnp.float32)
+    cp = jnp.asarray(rng.random(n), jnp.float32)
+
+    def obj(hh, head, stream):
+        lse, picked = chunked_lse_and_gather(hh, head, ids, vl, 128, stream)
+        return jnp.sum(lse * cl) + jnp.sum(picked * cp)
+
+    for head, (rtol, atol) in ((w, (2e-5, 2e-6)),
+                               (quantize_head_int8(w), (2e-2, 2e-3))):
+        # plain f32 head: bit-class identical (the streamed form is the
+        # same matmul in a different association).  int8 head: BOTH paths
+        # run bf16 dequantized matmuls, so they agree to bf16 noise only.
+        v0, g0 = jax.value_and_grad(obj)(h, head, False)
+        v1, g1 = jax.value_and_grad(obj)(h, head, True)
+        assert float(v0) == float(v1)  # forward identical
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=rtol, atol=atol)
