@@ -435,6 +435,10 @@ def bench_distill(cfg_name: str = "default"):
             # for the bf16 body)
             defaults["BENCH_TRAIN_MODULES"] = "router"
             defaults["BENCH_STUDENT_BODY_QUANT"] = "1"
+            # same streamed STE dh as the flagship default (the whole body
+            # is already straight-through here)
+            defaults["BENCH_INT8_DH"] = "1"
+            defaults["BENCH_STREAM_DH"] = "1"
         else:
             # flagship = the RECORD train set (every FFN + router, 2.03B
             # trainable — dense2sparse_distillation.sh:56).  Fitting it on
