@@ -914,6 +914,20 @@ def bench_distill(cfg_name: str = "default"):
     metric = "mimic_distill_tokens_per_sec_per_chip"
     if cfg_name != "default":
         metric += f"_{cfg_name}"
+    # Cliff guard (round-4 verdict: the auto-tuned defaults sit next to
+    # documented XLA performance cliffs, e.g. the 4-row teacher-chunk
+    # collapse to 519 tok/s).  If a toolchain bump lands the default on a
+    # cliff, say so loudly and name the known-good fallbacks instead of
+    # silently recording a collapsed headline.
+    _expect = {"flagship": 5000.0, "flagship_fit": 6800.0}.get(cfg_name)
+    if _expect and tok_per_sec < 0.7 * _expect:
+        log(f"WARNING: {tok_per_sec:.0f} tok/s is <70% of the recorded "
+            f"{_expect:.0f} for this config — likely an XLA/layout cliff "
+            f"after a toolchain change.  Known-good fallbacks to try: "
+            f"BENCH_TEACHER_CHUNKS=4 (2-row teacher chunks), "
+            f"BENCH_CHUNK=2048, BENCH_STREAM_DH=0 BENCH_INT8_DH=0 "
+            f"(two-pass exact loss), BENCH_FWD_CHUNKS=1.  See "
+            f"BENCH_NOTES.md rounds 8-11 for the sweep tables.")
     print(json.dumps({
         "metric": metric,
         "value": round(tok_per_sec, 1),
