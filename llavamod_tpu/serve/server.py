@@ -48,9 +48,10 @@ def _bucket(n: int, max_batch: int) -> int:
 
 class _Request:
     __slots__ = ("prompt", "image", "max_new_tokens", "event", "result",
-                 "error", "rid")
+                 "error", "rid", "stream", "chunks")
 
-    def __init__(self, prompt: str, image, max_new_tokens: int):
+    def __init__(self, prompt: str, image, max_new_tokens: int,
+                 stream: bool = False):
         self.prompt = prompt
         self.image = image                    # preprocessed array or None
         self.max_new_tokens = max_new_tokens
@@ -58,6 +59,9 @@ class _Request:
         self.result: Optional[Dict[str, Any]] = None
         self.error: Optional[str] = None
         self.rid = uuid.uuid4().hex[:16]
+        self.stream = stream
+        # text deltas for SSE consumers; None = terminal sentinel
+        self.chunks: "queue.Queue[Optional[str]]" = queue.Queue()
 
 
 class BatchingEngine:
@@ -65,13 +69,15 @@ class BatchingEngine:
 
     def __init__(self, runner, *, max_batch: int = 8,
                  batch_window: float = 0.02, default_max_new: int = 128,
-                 temperature: float = 0.0, top_p: float = 1.0):
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 stream_chunk: int = 8):
         from llavamod_tpu.generation import GenerationConfig
 
         self.runner = runner
         self.max_batch = max_batch
         self.batch_window = batch_window
         self.default_max_new = default_max_new
+        self.stream_chunk = stream_chunk
         self._gcfg_base = dict(temperature=temperature, top_p=top_p)
         self._gcfg_cls = GenerationConfig
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -95,6 +101,17 @@ class BatchingEngine:
             raise RuntimeError(req.error)
         assert req.result is not None
         return req.result
+
+    def submit_stream(self, prompt: str, image,
+                      max_new_tokens: Optional[int]) -> _Request:
+        """Enqueue a STREAMING request and return it immediately; consume
+        text deltas from `req.chunks` (None = done, then read req.result /
+        req.error)."""
+        req = _Request(prompt, image,
+                       max_new_tokens or self.default_max_new, stream=True)
+        self.stats["requests"] += 1
+        self._q.put(req)
+        return req
 
     def shutdown(self):
         self._stop.set()
@@ -130,6 +147,8 @@ class BatchingEngine:
                 for r in batch:
                     r.error = f"{type(exc).__name__}: {exc}"
                     r.event.set()
+                    if r.stream:
+                        r.chunks.put(None)
 
     def _run_batch(self, reqs: List[_Request]):
         from llavamod_tpu.generation import decode_texts, generate
@@ -157,11 +176,42 @@ class BatchingEngine:
             pad_token_id=self.runner.tokenizer.pad_token_id or 0,
             eos_token_ids=(eos,) if eos is not None else (),
             **self._gcfg_base)
-        gen_ids = generate(self.runner.params, self.runner.cfg, enc, gcfg)
-        texts = decode_texts(self.runner.tokenizer, gen_ids,
-                             pad_token_id=gcfg.pad_token_id)
         import numpy as np
 
+        if any(r.stream for r in reqs):
+            # chunked streamed decode: text deltas fan out per request as
+            # each jitted chunk lands; concatenated chunks == generate()
+            from llavamod_tpu.generation import (
+                generate_stream,
+                truncate_at_stops,
+            )
+
+            acc = None
+            prev = ["" for _ in reqs]
+            for toks in generate_stream(self.runner.params, self.runner.cfg,
+                                        enc, gcfg,
+                                        chunk=self.stream_chunk):
+                acc = toks if acc is None else np.concatenate([acc, toks], 1)
+                part = truncate_at_stops(acc, gcfg)
+                for i, r in enumerate(reqs):
+                    if not r.stream:
+                        continue
+                    text = decode_texts(
+                        self.runner.tokenizer,
+                        part[i:i + 1, :r.max_new_tokens],
+                        pad_token_id=gcfg.pad_token_id)[0]
+                    if len(text) > len(prev[i]):
+                        r.chunks.put(text[len(prev[i]):])
+                        prev[i] = text
+            gen_ids = truncate_at_stops(acc, gcfg)
+            if gen_ids.shape[1] < max_new:  # early stop: pad to budget
+                pad = np.full((gen_ids.shape[0], max_new - gen_ids.shape[1]),
+                              gcfg.pad_token_id, gen_ids.dtype)
+                gen_ids = np.concatenate([gen_ids, pad], 1)
+        else:
+            gen_ids = generate(self.runner.params, self.runner.cfg, enc, gcfg)
+        texts = decode_texts(self.runner.tokenizer, gen_ids,
+                             pad_token_id=gcfg.pad_token_id)
         ids_np = np.asarray(gen_ids)
         for i, r in enumerate(reqs):
             # trim to the REQUEST's own budget (batch decoded to the max)
@@ -180,6 +230,8 @@ class BatchingEngine:
                 },
             }
             r.event.set()
+            if r.stream:
+                r.chunks.put(None)  # terminal sentinel after result is set
 
 
 def build_engine(model_path: str, *, conv_mode: str = "qwen",
@@ -225,6 +277,31 @@ def make_handler(engine: BatchingEngine, model_name: str):
                 return self._json(200, engine.stats)
             return self._json(404, {"error": "not found"})
 
+        def _stream(self, full_prompt, img, max_new):
+            """Server-sent events: data: {"delta": ...} per text chunk,
+            then data: {"done": true, ...final result...}, then [DONE]."""
+            req = engine.submit_stream(full_prompt, img, max_new)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def emit(obj):
+                self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+                self.wfile.flush()
+
+            while True:
+                item = req.chunks.get(timeout=600)
+                if item is None:
+                    break
+                emit({"delta": item})
+            if req.error:
+                emit({"error": req.error})
+            else:
+                emit({"done": True, **req.result})
+            self.wfile.write(b"data: [DONE]\n\n")
+
         def do_POST(self):
             if self.path not in ("/v1/generate", "/generate"):
                 return self._json(404, {"error": "not found"})
@@ -240,6 +317,9 @@ def make_handler(engine: BatchingEngine, model_name: str):
                     pil = Image.open(io.BytesIO(raw)).convert("RGB")
                     img = engine.runner.image_preprocessor(pil)
                 full = engine.runner.build_prompt(prompt, img is not None)
+                if payload.get("stream"):
+                    return self._stream(full, img,
+                                        payload.get("max_new_tokens"))
                 out = engine.submit(full, img,
                                     payload.get("max_new_tokens"))
                 return self._json(200, out)

@@ -160,3 +160,109 @@ def test_bad_request_is_400(engine_and_server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def _post_stream(url, payload, timeout=600):
+    req = urllib.request.Request(
+        url + "/v1/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        for raw in resp.read().decode().split("\n\n"):
+            raw = raw.strip()
+            if not raw.startswith("data: ") or raw == "data: [DONE]":
+                continue
+            events.append(json.loads(raw[len("data: "):]))
+    return events
+
+
+def test_streaming_deltas_concatenate_to_nonstream_text(engine_and_server):
+    engine, runner, url = engine_and_server
+    prompt = {"prompt": "stream this", "max_new_tokens": 6}
+    code, solo = _post(url, prompt)
+    assert code == 200
+
+    events = _post_stream(url, {**prompt, "stream": True})
+    deltas = [e["delta"] for e in events if "delta" in e]
+    final = [e for e in events if e.get("done")]
+    assert len(final) == 1, events
+    assert final[0]["text"] == solo["text"]
+    # the concatenated deltas ARE the final text (tiny random models may
+    # legitimately decode to empty text -> zero deltas)
+    assert "".join(deltas).strip() == solo["text"]
+    if solo["text"]:
+        assert deltas
+    assert final[0]["usage"]["completion_tokens"] <= 6
+
+
+def test_mixed_stream_and_nonstream_batch(engine_and_server):
+    """A streaming and a plain request collected into ONE batch: the
+    streamed decode serves both; outputs match the solo paths."""
+    engine, runner, url = engine_and_server
+    before = engine.stats["batches"]
+    outs = [None, None]
+
+    def plain():
+        code, out = _post(url, {"prompt": "mixed plain", "max_new_tokens": 6})
+        assert code == 200
+        outs[0] = out["text"]
+
+    def stream():
+        events = _post_stream(url, {"prompt": "mixed stream",
+                                    "max_new_tokens": 6, "stream": True})
+        outs[1] = [e for e in events if e.get("done")][0]["text"]
+
+    a = threading.Thread(target=plain)
+    b = threading.Thread(target=stream)
+    a.start(); b.start(); a.join(600); b.join(600)
+    assert engine.stats["batches"] > before
+    code, s0 = _post(url, {"prompt": "mixed plain", "max_new_tokens": 6})
+    code, s1 = _post(url, {"prompt": "mixed stream", "max_new_tokens": 6})
+    assert outs[0] == s0["text"]
+    assert outs[1] == s1["text"]
+
+
+def test_streaming_deltas_with_real_text(engine_and_server):
+    """Delta mechanics with a tokenizer whose decode always yields text:
+    deltas are non-empty, ordered, and concatenate to the final text."""
+    import types
+
+    from llavamod_tpu.eval.generate import VQARunner
+    from llavamod_tpu.models.builder import make_image_preprocessor
+    from llavamod_tpu.serve.server import BatchingEngine
+
+    _, base_runner, _ = engine_and_server
+
+    class CharTok:
+        pad_token_id = 0
+        eos_token_id = None
+
+        def __call__(self, text):
+            return types.SimpleNamespace(
+                input_ids=[(ord(c) % 200) + 5 for c in text[:16]])
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (int(i) % 26)) for i in ids)
+
+    runner = VQARunner(params=base_runner.params, cfg=base_runner.cfg,
+                       tokenizer=CharTok(),
+                       image_preprocessor=make_image_preprocessor(
+                           base_runner.cfg),
+                       template_name="qwen", max_prompt_len=64)
+    engine = BatchingEngine(runner, max_batch=2, batch_window=0.05,
+                            default_max_new=6, stream_chunk=2)
+    try:
+        req = engine.submit_stream("hello stream", None, 6)
+        deltas = []
+        while True:
+            item = req.chunks.get(timeout=600)
+            if item is None:
+                break
+            deltas.append(item)
+        assert req.error is None, req.error
+        assert deltas and all(deltas)
+        assert "".join(deltas).strip() == req.result["text"]
+        assert len(req.result["text"]) >= 6  # one char per generated token
+    finally:
+        engine.shutdown()
