@@ -931,8 +931,9 @@ def bench_distill(cfg_name: str = "default"):
     print(json.dumps({
         "metric": metric,
         "value": round(tok_per_sec, 1),
-        "unit": f"tokens/s/chip ({student_size}-MoE student, {teacher_size} "
-                f"teacher"
+        "unit": f"tokens/s/chip ({student_size}"
+                + ("-MoE" if use_moe else " dense")
+                + f" student, {teacher_size} teacher"
                 + (" int8-W8A8" if teacher_quant.startswith("int8") else "")
                 + f", T={t}, bf16"
                 + (", int8-W8A8 student body" if body_quant else "")
